@@ -1,0 +1,211 @@
+"""Configuration system: two config families mirroring the reference YAMLs.
+
+* tracker config — reference BundleTrack/config_ho3d.yml:1-113 (depth
+  processing, bundle, keyframe, feature_corres, ransac, p2p keys) with the
+  per-dataset variants (config_ycbineoat.yml, config_behave.yml);
+* NOF (neural object field) config — reference config.yml:1-103.
+
+Like the reference scripts (run_custom.py:23-63) we treat config-as-artifact:
+runs mutate a copy and dump it into the output dir so downstream stages
+(global refine, benchmarking) can reload exactly what was used.
+"""
+from __future__ import annotations
+
+import copy
+import yaml
+
+
+class Cfg(dict):
+    """dict with attribute access and recursive wrapping."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(k) from e
+        return v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    @staticmethod
+    def wrap(d):
+        if isinstance(d, dict):
+            return Cfg({k: Cfg.wrap(v) for k, v in d.items()})
+        if isinstance(d, list):
+            return [Cfg.wrap(v) for v in d]
+        return d
+
+    def merged(self, other: dict) -> "Cfg":
+        out = copy.deepcopy(self)
+        _deep_update(out, other)
+        return Cfg.wrap(out)
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            yaml.safe_dump(_plain(self), f, sort_keys=False)
+
+    @staticmethod
+    def load(path: str) -> "Cfg":
+        with open(path) as f:
+            return Cfg.wrap(yaml.safe_load(f))
+
+
+def _deep_update(base: dict, upd: dict):
+    for k, v in upd.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
+
+
+def _plain(d):
+    if isinstance(d, dict):
+        return {k: _plain(v) for k, v in d.items()}
+    if isinstance(d, list):
+        return [_plain(v) for v in d]
+    return d
+
+
+def default_track_config() -> Cfg:
+    """Tracker config defaults (reference BundleTrack/config_ho3d.yml:1-113)."""
+    return Cfg.wrap(
+        {
+            "debug_dir": "/tmp/bundlesdf_tpu",
+            "SPDLOG": 1,
+            "downscale": 1,
+            "depth_processing": {
+                "zfar": 1.0,
+                "erode": {"radius": 1, "diff": 0.001, "ratio": 0.8},
+                "bilateral_filter": {"radius": 2, "sigma_D": 2.0, "sigma_R": 100000.0},
+                "outlier_removal": {"num": 30, "std_mul": 3.0},
+                "edge_normal_thres": 10.0,
+                "denoise_cloud": False,
+                "percentile": 95,
+            },
+            "visible_angle": 70.0,
+            "bundle": {
+                "num_iter_outter": 7,
+                "num_iter_inner": 5,
+                "window_size": 5,
+                "max_BA_frames": 10,
+                "subset_selection_method": "normal_orientation_nearest",
+                "depth_association_radius": 5,
+                "non_neighbor_max_rot": 90.0,
+                "non_neighbor_min_visible": 0.1,
+                "icp_pose_rot_thres": 60.0,
+                "w_p2p": 1.0,
+                "w_fm": 1.0,
+                "robust_delta": 0.005,
+                "min_fm_edges_newframe": 15,
+                "image_downscale": 4,
+                "feature_edge_dist_thres": 0.01,
+                "feature_edge_normal_thres": 30.0,
+                "max_optimized_feature_loss": 0.03,
+            },
+            "keyframe": {
+                "min_interval": 1,
+                "min_feat_num": 0,
+                "min_trans": 0.0,
+                "min_rot": 5.0,
+                "min_visible": 1.0,
+            },
+            "feature_corres": {
+                "mutual": True,
+                "max_dist_neighbor": 0.02,
+                "max_normal_neighbor": 30.0,
+                "min_match_with_ref": 5,
+                "resize": 400,
+                "rematch_after_nerf": False,
+                "max_matches_per_pair": 512,
+            },
+            "ransac": {
+                "max_iter": 2000,
+                "num_sample": 3,
+                "inlier_dist": 0.005,
+                "inlier_normal_angle": 30.0,
+                "max_trans_neighbor": 0.02,
+                "max_rot_deg_neighbor": 30.0,
+                "max_trans_no_neighbor": 0.1,
+                "max_rot_no_neighbor": 60.0,
+                "min_match_after_ransac": 5,
+            },
+            "p2p": {"projective": False, "max_dist": 0.01, "max_normal_angle": 20.0},
+            "pool": {
+                "max_keyframes": 128,
+                "max_frames": 16,
+            },
+        }
+    )
+
+
+def default_nof_config() -> Cfg:
+    """Neural-object-field config defaults (reference config.yml:1-103)."""
+    return Cfg.wrap(
+        {
+            "n_step": 500,
+            "N_rand": 2048,
+            "lrate": 0.01,
+            "lrate_pose": 0.01,
+            "decay_rate": 0.1,
+            "N_samples": 128,
+            "N_samples_around_depth": 64,
+            "N_importance": 0,
+            "perturb": 1,
+            "feature_grid_dim": 2,
+            "gradient_max_norm": 0.1,
+            "finest_res": 128,
+            "base_res": 16,
+            "num_levels": 4,
+            "log2_hashmap_size": 22,
+            "n_train_image": 300,
+            "use_octree": 1,
+            "first_frame_weight": 10.0,
+            "denoise_depth_use_octree_cloud": True,
+            "octree_smallest_voxel_size": 0.02,
+            "octree_raytracing_voxel_size": 0.02,
+            "octree_dilate_size": 0.02,
+            "down_scale_ratio": 1,
+            "bounding_box": [[-1, -1, -1], [1, 1, 1]],
+            "use_mask": 1,
+            "dilate_mask_size": 0,
+            "rays_valid_depth_only": True,
+            "near": 0.1,
+            "far": 2.0,
+            "rgb_weight": 10.0,
+            "depth_weight": 0.0,
+            "trunc": 0.01,
+            "trunc_start": 0.01,
+            "sdf_lambda": 5.0,
+            "neg_trunc_ratio": 1.0,
+            "trunc_decay_type": "",
+            "fs_weight": 100.0,
+            "empty_weight": 0.01,
+            "fs_rgb_weight": 0.0,
+            "trunc_weight": 6000.0,
+            "frame_features": 0,
+            "optimize_poses": 1,
+            "pose_reg_weight": 0.0,
+            "feature_reg_weight": 0.1,
+            "mode": "sdf",
+            "fs_sdf": 0.001,
+            "mesh_resolution": 0.005,
+            "max_trans": 0.02,
+            "max_rot": 20.0,
+            "continual": True,
+            "dbscan_eps": 0.06,
+            "dbscan_eps_min_samples": 1,
+            "sync_max_delay": 0,
+            "sc_factor": 1.0,
+            "translation": [0.0, 0.0, 0.0],
+            "multires_views": 3,
+            "i_embed": 1,
+            "i_embed_views": 2,
+            "amp": True,
+            "netdepth": 3,
+            "netwidth": 64,
+            "start_nerf_keyframes": 5,
+            "max_kf_pool": 128,
+            "save_dir": "/tmp/bundlesdf_tpu_nof",
+        }
+    )

@@ -1,0 +1,252 @@
+"""SE(3)/SO(3) Lie-group utilities, rigid alignment, and rotation distances.
+
+Pure-JAX, jit/vmap-friendly (static shapes, no data-dependent Python control
+flow).  These are the TPU-native equivalents of the reference's Eigen-based
+helpers (reference: BundleTrack/src/Utils.cpp:81-98 rotation distances,
+Utils.cpp:360-405 rigid solve, pytorch3d se3_exp_map used by
+nerf_helpers.py:127-154 PoseArray).
+
+Conventions
+-----------
+* Rotations are 3x3 matrices acting on column vectors: ``p' = R @ p``.
+* Homogeneous transforms are 4x4, ``T = [[R, t], [0, 1]]``.
+* ``se3`` tangent vectors are ``[t(3), w(3)]`` (translation first, rotation
+  axis-angle second) — same layout as the reference PoseArray
+  (nerf_helpers.py:146-150: trans then rot).
+* All math in float32 (TPU-native); small-angle branches use Taylor series via
+  ``jnp.where`` so gradients are finite at the identity.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix of w (..., 3) -> (..., 3, 3)."""
+    zeros = jnp.zeros_like(w[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -w[..., 2], w[..., 1]], axis=-1),
+            jnp.stack([w[..., 2], zeros, -w[..., 0]], axis=-1),
+            jnp.stack([-w[..., 1], w[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) via Rodrigues.
+
+    Uses Taylor expansions of sin(t)/t and (1-cos t)/t^2 near t=0 so the map
+    is smooth and differentiable at the identity.
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS)
+    small = theta2 < 1e-8
+    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2.clip(_EPS))
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+
+
+def rotation_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) [w, x, y, z].
+
+    Branchless Shepperd's method: build all four candidate constructions
+    (indexed by the largest of trace/diagonal entries) and select with
+    jnp.where — numerically stable for every rotation, jit/vmap friendly.
+    Returned with w >= 0.
+    """
+    r00, r01, r02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    r10, r11, r12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    r20, r21, r22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = r00 + r11 + r22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, _EPS))
+
+    # Case 0: trace dominant
+    s0 = safe_sqrt(1.0 + tr) * 2.0
+    q0 = jnp.stack([0.25 * s0, (r21 - r12) / s0, (r02 - r20) / s0, (r10 - r01) / s0], -1)
+    # Case 1: r00 dominant
+    s1 = safe_sqrt(1.0 + r00 - r11 - r22) * 2.0
+    q1 = jnp.stack([(r21 - r12) / s1, 0.25 * s1, (r01 + r10) / s1, (r02 + r20) / s1], -1)
+    # Case 2: r11 dominant
+    s2 = safe_sqrt(1.0 - r00 + r11 - r22) * 2.0
+    q2 = jnp.stack([(r02 - r20) / s2, (r01 + r10) / s2, 0.25 * s2, (r12 + r21) / s2], -1)
+    # Case 3: r22 dominant
+    s3 = safe_sqrt(1.0 - r00 - r11 + r22) * 2.0
+    q3 = jnp.stack([(r10 - r01) / s3, (r02 + r20) / s3, (r12 + r21) / s3, 0.25 * s3], -1)
+
+    cands = jnp.stack([tr, r00, r11, r22], axis=-1)
+    case = jnp.argmax(cands, axis=-1)[..., None]
+    q = jnp.where(case == 0, q0, jnp.where(case == 1, q1, jnp.where(case == 2, q2, q3)))
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
+    return jnp.where(q[..., :1] < 0, -q, q)
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
+
+    Via quaternion + atan2 — well-conditioned at 0 and near pi (unlike the
+    arccos-of-trace route).
+    """
+    q = rotation_to_quat(R)
+    w, v = q[..., 0], q[..., 1:]
+    nv = jnp.linalg.norm(v, axis=-1)
+    theta = 2.0 * jnp.arctan2(nv, w)
+    # w = theta * v / ||v||; near identity use 2/w Taylor: theta/nv -> 2/w
+    scale = jnp.where(nv < 1e-6, 2.0 / jnp.maximum(w, _EPS), theta / jnp.maximum(nv, _EPS))
+    return scale[..., None] * v
+
+
+def _v_matrix(w: jnp.ndarray) -> jnp.ndarray:
+    """Left Jacobian V of SO(3) used in se3 exp: t_SE3 = V @ rho."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS)
+    small = theta2 < 1e-8
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2.clip(_EPS))
+    c = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta).clip(_EPS)
+    )
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """Tangent [t(3), w(3)] (..., 6) -> homogeneous transform (..., 4, 4)."""
+    rho, w = xi[..., :3], xi[..., 3:6]
+    R = so3_exp(w)
+    t = jnp.einsum("...ij,...j->...i", _v_matrix(w), rho)
+    return pack_pose(R, t)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous transform (..., 4, 4) -> tangent [t(3), w(3)] (..., 6)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    w = so3_log(R)
+    Vinv = jnp.linalg.inv(_v_matrix(w))
+    rho = jnp.einsum("...ij,...j->...i", Vinv, t)
+    return jnp.concatenate([rho, w], axis=-1)
+
+
+def pack_pose(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3), (..., 3) -> (..., 4, 4)."""
+    batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
+    R = jnp.broadcast_to(R, batch + (3, 3))
+    t = jnp.broadcast_to(t, batch + (3,))
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), batch + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def inv_pose(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a rigid transform (..., 4, 4)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return pack_pose(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+
+
+def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply (..., 4, 4) to points (..., N, 3) (or (..., 3))."""
+    single = pts.ndim == T.ndim - 1
+    if single:
+        pts = pts[..., None, :]
+    out = jnp.einsum("...ij,...nj->...ni", T[..., :3, :3], pts) + T[..., None, :3, 3]
+    return out[..., 0, :] if single else out
+
+
+def transform_dirs(T: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate direction vectors by the rotation part of T."""
+    single = dirs.ndim == T.ndim - 1
+    if single:
+        dirs = dirs[..., None, :]
+    out = jnp.einsum("...ij,...nj->...ni", T[..., :3, :3], dirs)
+    return out[..., 0, :] if single else out
+
+
+def rotation_geodesic_distance(R1: jnp.ndarray, R2: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic angle between rotations (reference Utils.cpp:81-88)."""
+    tmp = (jnp.trace(R1 @ jnp.swapaxes(R2, -1, -2), axis1=-2, axis2=-1) - 1.0) * 0.5
+    return jnp.arccos(jnp.clip(tmp, -1.0, 1.0))
+
+
+def rotation_geodesic_distance_ignore_cam_z(R1: jnp.ndarray, R2: jnp.ndarray) -> jnp.ndarray:
+    """Rotation distance ignoring rotation around the camera z-axis.
+
+    Mirrors reference Utils.cpp:90-98: compute the relative rotation
+    ``R_AB = R2 @ R1^-1``, zero the z-component of its rotation axis,
+    renormalize the axis keeping the angle, and return the geodesic angle of
+    the resulting rotation.
+    """
+    R_ab = R2 @ jnp.swapaxes(R1, -1, -2)
+    w = so3_log(R_ab)
+    theta = jnp.linalg.norm(w, axis=-1)
+    axis = w / (theta[..., None] + _EPS)
+    axis = axis.at[..., 2].set(0.0)
+    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + _EPS)
+    R_out = so3_exp(axis * theta[..., None])
+    return rotation_geodesic_distance(R_out, jnp.broadcast_to(jnp.eye(3, dtype=R1.dtype), R_out.shape))
+
+
+def kabsch(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Weighted rigid alignment: find T s.t. ``dst ~= T @ src``.
+
+    Closed-form SVD (Kabsch/Umeyama without scale) — the TPU-native
+    equivalent of the reference's Eigen JacobiSVD solve
+    (Utils.cpp:360-405 solveRigidTransformBetweenPoints).  Batched: leading
+    dims broadcast; jnp.linalg.svd batches onto the MXU.
+
+    Args:
+      src: (..., N, 3) source points.
+      dst: (..., N, 3) destination points.
+      weights: optional (..., N) nonneg weights (e.g. inlier mask).
+    Returns:
+      (..., 4, 4) rigid transform.
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], dtype=src.dtype)
+    wsum = jnp.sum(weights, axis=-1, keepdims=True) + _EPS
+    wn = weights / wsum
+    src_c = jnp.sum(src * wn[..., None], axis=-2, keepdims=True)
+    dst_c = jnp.sum(dst * wn[..., None], axis=-2, keepdims=True)
+    src0 = src - src_c
+    dst0 = dst - dst_c
+    # Cross-covariance H = sum w * src0^T dst0  (3x3)
+    H = jnp.einsum("...ni,...nj->...ij", src0 * wn[..., None], dst0)
+    U, _, Vt = jnp.linalg.svd(H)
+    # R = V diag(1,1,det) U^T maps src -> dst
+    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.einsum("...ji,...j,...jk->...ik", Vt, D, jnp.swapaxes(U, -1, -2))
+    t = dst_c[..., 0, :] - jnp.einsum("...ij,...j->...i", R, src_c[..., 0, :])
+    return pack_pose(R, t)
+
+
+def to_homo(pts: jnp.ndarray) -> jnp.ndarray:
+    """(..., N, 3) -> (..., N, 4) homogeneous."""
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def normalize_rotation(T: jnp.ndarray) -> jnp.ndarray:
+    """Re-orthonormalize the rotation block of (..., 4, 4) via SVD."""
+    R = T[..., :3, :3]
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    Rn = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
+    return pack_pose(Rn, T[..., :3, 3])

@@ -1,0 +1,185 @@
+"""Neural Object Field volumetric rendering.
+
+Re-design of the reference render path (nerf_runner.py:1013-1168
+render_rays / raw2outputs / sdf2weights) as one fused JAX program:
+occupancy-pruned sampling (ops/occupancy.py replaces kaolin raytrace +
+mycuda sampling kernels) + near-depth band samples + field query
+(models/nof.py) + depth-guided SDF-to-weight compositing.
+
+Ray-batch layout (parity with the reference ray tensor,
+nerf_runner.py:257-298):
+  [0:3]  dir (camera GL frame, z = -1 plane, NOT unit)
+  [3:6]  rgb target
+  [6]    depth target (normalized units, z-depth convention)
+  [7]    mask
+  [8]    frame_id
+  [9]    ray_type (0 good, 1 invalid-depth)
+  [10]   near  [11] far   (from ray/AABB intersect at build time)
+
+The z_vals are in *z-depth* units (multiples of the z=-1-plane direction
+vector), exactly like the reference which rescales octree ray-trace arc
+lengths by |dir_z| (nerf_runner.py:989) so z compares directly with the
+depth image for the truncated-SDF loss.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import nof as nof_model
+from ..ops import occupancy as occ_ops
+
+RAY_DIR = slice(0, 3)
+RAY_RGB = slice(3, 6)
+RAY_DEPTH = 6
+RAY_MASK = 7
+RAY_FRAME_ID = 8
+RAY_TYPE = 9
+RAY_NEAR = 10
+RAY_FAR = 11
+RAY_DIM = 12
+
+
+class RenderCfg(NamedTuple):
+    """Static rendering configuration (reference config.yml sampling keys)."""
+
+    n_samples: int = 128
+    n_samples_around_depth: int = 64
+    n_march: int = 256
+    sdf_lambda: float = 5.0
+    neg_trunc_ratio: float = 1.0
+    near: float = 0.1
+    far: float = 2.0
+    sc_factor: float = 1.0
+    perturb: bool = True
+
+
+def sample_z_vals(
+    key: jax.Array,
+    cfg: RenderCfg,
+    grid: jnp.ndarray,
+    rays_o_w: jnp.ndarray,
+    dirs_unit_w: jnp.ndarray,
+    dir_norm_cam: jnp.ndarray,
+    depth: jnp.ndarray,
+    truncation,
+):
+    """Occupancy-pruned z samples + near-depth band samples -> (N, S_total).
+
+    Mirrors reference render_rays sampling (nerf_runner.py:1045-1085):
+      * n_samples distributed uniformly over occupied voxel spans (clipped
+        beyond measured depth + trunc);
+      * n_samples_around_depth uniform in [d - trunc, d + trunc*neg_ratio]
+        where depth is valid, else re-drawn from occupied space.
+    Returns (z_vals, valid_ray) where z is z-depth units.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    # Sampling is not differentiated (reference samples under no_grad —
+    # gradients flow only through the later point transform).
+    rays_o_w = jax.lax.stop_gradient(rays_o_w)
+    dirs_unit_w = jax.lax.stop_gradient(dirs_unit_w)
+    # Depth (z units) -> arc-length clip value for the sampler: t = z * |d|/|d_z|
+    # with camera dirs having |d_z| = 1, so t = z * dir_norm_cam.  The clip
+    # boundary is depth + trunc in z units (reference nerf_runner.py:995-999).
+    depth_clip_t = (depth + truncation) * dir_norm_cam
+    t_occ, hit, near_t, far_t = occ_ops.sample_rays_in_occupied_space(
+        k1, grid, rays_o_w, dirs_unit_w, cfg.n_march, cfg.n_samples,
+        depth=depth_clip_t, trunc=0.0, perturb=cfg.perturb,
+    )
+    inv_norm = 1.0 / jnp.maximum(dir_norm_cam, 1e-10)
+    z_occ = t_occ * inv_norm[:, None]
+
+    if cfg.n_samples_around_depth > 0:
+        valid_depth = (depth >= cfg.near * cfg.sc_factor) & (depth <= cfg.far * cfg.sc_factor)
+        near_d = depth - truncation
+        far_d = depth + truncation * cfg.neg_trunc_ratio
+        z_band = occ_ops.sample_rays_uniform(
+            k2, near_d, far_d, cfg.n_samples_around_depth, cfg.perturb
+        )
+        # invalid-depth rays: fall back to occupied-space samples
+        t_fb, _, _, _ = occ_ops.sample_rays_in_occupied_space(
+            k3, grid, rays_o_w, dirs_unit_w, cfg.n_march,
+            cfg.n_samples_around_depth, depth=None, perturb=cfg.perturb,
+        )
+        z_fb = t_fb * inv_norm[:, None]
+        z_band = jnp.where(valid_depth[:, None], z_band, z_fb)
+        z = jnp.concatenate([z_occ, z_band], axis=-1)
+    else:
+        z = z_occ
+    return jax.lax.stop_gradient(z), hit
+
+
+def sdf2weights(sdf_raw, z_vals, depth, truncation, cfg: RenderCfg):
+    """Depth-guided compositing weights (reference nerf_runner.py:1146-1160).
+
+    A sigmoid bell centered at the *measured* depth, masked to the
+    truncation band, zeroed for invalid (> far) depth, normalized per ray.
+    """
+    d = depth[:, None]
+    s = (d - z_vals) / truncation
+    w = jax.nn.sigmoid(s * cfg.sdf_lambda) * jax.nn.sigmoid(-s * cfg.sdf_lambda)
+    band = (z_vals - d <= truncation * cfg.neg_trunc_ratio) & (z_vals - d >= -truncation)
+    invalid = (depth > cfg.far * cfg.sc_factor)[:, None]
+    w = jnp.where(invalid, 0.0, jnp.where(band, w, 0.0))
+    _ = sdf_raw
+    return w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-10)
+
+
+def render_rays(
+    key: jax.Array,
+    params: dict,
+    spec: nof_model.NofSpec,
+    cfg: RenderCfg,
+    grid: jnp.ndarray,
+    ray_batch: jnp.ndarray,
+    c2w_array: jnp.ndarray,
+    truncation,
+):
+    """Render a batch of rays.
+
+    Args:
+      ray_batch: (N, RAY_DIM) in the layout above.
+      c2w_array: (num_frames, 4, 4) normalized GL cam-to-object poses.
+      truncation: scalar (annealed, normalized units).
+    Returns dict: rgb_map (N,3), raw (N,S,4), z_vals (N,S), valid_samples
+    (N,S), weights (N,S).
+    """
+    rays_d = ray_batch[:, RAY_DIR]
+    frame_ids = ray_batch[:, RAY_FRAME_ID].astype(jnp.int32)
+    depth = ray_batch[:, RAY_DEPTH]
+    dir_norm = jnp.linalg.norm(rays_d, axis=-1)
+    viewdirs = rays_d / dir_norm[:, None]
+
+    # Pose correction applied on top of the tracker pose (reference
+    # nerf_runner.py:1052-1055).
+    tf = c2w_array[frame_ids]
+    if spec.optimize_poses:
+        corr = nof_model.pose_array_matrices(params["pose_array"], spec, frame_ids)
+        tf = corr @ tf
+
+    rays_o_w = tf[:, :3, 3]
+    dirs_w = jnp.einsum("nij,nj->ni", tf[:, :3, :3], viewdirs)
+
+    z_vals, hit = sample_z_vals(
+        key, cfg, grid, rays_o_w, dirs_w, dir_norm, depth, truncation
+    )
+    # Points in camera frame (origin 0), then to object frame via tf.
+    pts_cam = rays_d[:, None, :] * z_vals[..., None]
+    pts_w = jnp.einsum("nij,nsj->nsi", tf[:, :3, :3], pts_cam) + tf[:, None, :3, 3]
+
+    raw, valid_samples = nof_model.nof_forward(params, spec, pts_w, dirs_w, frame_ids)
+    valid_samples = valid_samples & hit[:, None]
+
+    weights = sdf2weights(raw[..., 3], z_vals, depth, truncation, cfg)
+    weights = jnp.where(valid_samples, weights, 0.0)
+    rgb = jax.nn.sigmoid(raw[..., :3])
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    return {
+        "rgb_map": rgb_map,
+        "raw": raw,
+        "z_vals": z_vals,
+        "valid_samples": valid_samples,
+        "weights": weights,
+    }

@@ -1,0 +1,508 @@
+"""Neural Object Field training runner.
+
+Re-design of the reference NerfRunner (nerf_runner.py:112-1541) as a single
+JAX training program: one jitted ``train_step`` fuses sampling, hash
+encoding, the MLP, sdf2weights compositing, all losses, the inf-norm
+gradient clip and the Adam update.  Host code only builds the ray pool
+(once per keyframe batch), the occupancy grid inputs, and runs meshing.
+
+Parity anchors:
+  * ray building       — nerf_runner.py:244-314 make_frame_rays (mask
+                         dilation, invalid-depth ray typing, near/far from
+                         ray/AABB, occupancy culling)
+  * optimizer          — nerf_runner.py:490-502 (Adam eps 1e-15, separate
+                         pose lr), :577-581 lr decay every 10 steps,
+                         :648-658 inf-norm grad clip
+  * losses             — nerf_runner.py:677-851 train_loop
+  * continual learning — nerf_runner.py:350-431 add_new_frames
+  * mesh extraction    — nerf_runner.py:1349-1408 extract_mesh
+  * pose export        — Utils.py:479-505 get_optimized_poses_in_real_world
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Cfg
+from ..models import nof as nof_model
+from ..ops import hashgrid, occupancy as occ_ops
+from ..utils import geometry, mesh as mesh_utils, se3
+from . import losses as nof_losses
+from . import render as nof_render
+
+BAD_DEPTH = 99.0
+BAD_COLOR = 128
+
+
+def clip_by_global_inf_norm(max_norm: float) -> optax.GradientTransformation:
+    """Scale all grads by max_norm / max|g| when the global inf-norm exceeds
+    max_norm (parity with torch clip_grad_norm_(norm_type=inf),
+    nerf_runner.py:648-658)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        gmax = jax.tree_util.tree_reduce(
+            jnp.maximum,
+            jax.tree_util.tree_map(lambda g: jnp.max(jnp.abs(g)), updates),
+            jnp.zeros(()),
+        )
+        scale = jnp.minimum(1.0, max_norm / (gmax + 1e-12))
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return init_fn, update_fn
+
+
+def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
+    n_step = cfg["n_step"]
+    decay = cfg["decay_rate"]
+
+    def schedule(step):
+        # lr update every 10 steps (reference schedule_lr cadence)
+        s = jnp.floor(step / 10.0) * 10.0
+        return decay ** (s / n_step)
+
+    def pose_scale(path_leaf_scale):
+        return cfg["lrate_pose"] / cfg["lrate"]
+
+    base = optax.chain(
+        optax.GradientTransformation(*clip_by_global_inf_norm(cfg["gradient_max_norm"])),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+        optax.scale_by_schedule(lambda s: -cfg["lrate"] * schedule(s)),
+    )
+    if cfg["lrate_pose"] == cfg["lrate"]:
+        return base
+
+    def label_fn(params):
+        return {k: ("pose" if k == "pose_array" else "basic") for k in params}
+
+    pose_tx = optax.chain(
+        optax.GradientTransformation(*clip_by_global_inf_norm(cfg["gradient_max_norm"])),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+        optax.scale_by_schedule(lambda s: -cfg["lrate_pose"] * schedule(s)),
+    )
+    _ = pose_scale
+    return optax.multi_transform({"basic": base, "pose": pose_tx}, label_fn)
+
+
+class TrainStatics(NamedTuple):
+    """All hashable statics the train step closes over."""
+
+    spec: nof_model.NofSpec
+    rcfg: nof_render.RenderCfg
+    weights: nof_losses.LossWeights
+    n_rand: int
+    n_step: int
+    trunc: float
+    trunc_start: float
+    trunc_decay_type: str
+    sc_factor: float
+
+
+def make_train_step(st: TrainStatics, optimizer):
+    """Build the fused jitted training step."""
+
+    def loss_fn(params, key, batch, grid, c2w, step):
+        truncation = nof_losses.truncation_value(
+            step, st.n_step, st.trunc, st.trunc_start, st.sc_factor, st.trunc_decay_type
+        )
+        out = nof_render.render_rays(
+            key, params, st.spec, st.rcfg, grid, batch, c2w, truncation
+        )
+        target_rgb = batch[:, nof_render.RAY_RGB]
+        target_d = batch[:, nof_render.RAY_DEPTH]
+        frame_ids = batch[:, nof_render.RAY_FRAME_ID].astype(jnp.int32)
+        ray_type = batch[:, nof_render.RAY_TYPE]
+        valid_samples = out["valid_samples"].astype(jnp.float32)
+        sdf = out["raw"][..., 3]
+        z_vals = out["z_vals"]
+
+        valid_rays = (out["valid_samples"].any(axis=-1)) & (ray_type == 0)
+        ray_w = jnp.where(frame_ids == 0, st.weights.first_frame_weight, 1.0)
+        ray_w = ray_w * valid_rays.astype(jnp.float32)
+        sample_w = ray_w[:, None] * valid_samples
+
+        img_loss = jnp.mean((out["rgb_map"] - target_rgb) ** 2 * ray_w[:, None])
+        rgb_loss = st.weights.rgb_weight * img_loss
+        loss = rgb_loss
+
+        fs_raw, sdf_raw_l = nof_losses.sdf_losses(
+            z_vals, target_d[:, None], sdf, truncation, sample_w, st.weights
+        )
+        fs_loss = fs_raw * st.weights.fs_weight
+        sdf_loss = sdf_raw_l * st.weights.trunc_weight
+        loss = loss + fs_loss + sdf_loss
+
+        metrics = {"rgb_loss": rgb_loss, "fs_loss": fs_loss, "sdf_loss": sdf_loss}
+        if st.spec.frame_features > 0:
+            reg = st.weights.feature_reg_weight * jnp.mean(params["feature_array"] ** 2)
+            loss = loss + reg
+            metrics["feature_reg"] = reg
+        if st.weights.pose_reg_weight > 0:
+            reg = st.weights.pose_reg_weight * jnp.linalg.norm(params["pose_array"][1:])
+            loss = loss + reg
+        metrics["loss"] = loss
+        metrics["valid_rays"] = jnp.sum(valid_rays)
+        return loss, metrics
+
+    @jax.jit
+    def train_step(params, opt_state, step, key, rays, n_rays, grid, c2w):
+        kb, kr = jax.random.split(jax.random.fold_in(key, step))
+        idx = jax.random.randint(kb, (st.n_rand,), 0, jnp.maximum(n_rays, 1))
+        batch = rays[idx]
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, kr, batch, grid, c2w, step
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+class NofRunner:
+    """One NOF training session over the current keyframe set.
+
+    Data enters already normalized (preprocess_data semantics,
+    nerf_helpers.py:218-240): rgb in [0,1] with BAD_COLOR outside mask,
+    depth scaled by sc_factor with BAD_DEPTH where invalid, poses
+    translated+scaled into [-1,1]^3, OpenGL convention.
+    """
+
+    def __init__(
+        self,
+        cfg: Cfg,
+        images: np.ndarray,
+        depths: np.ndarray,
+        masks: np.ndarray,
+        poses: np.ndarray,
+        K: np.ndarray,
+        build_octree_pts: np.ndarray,
+        occ_masks: np.ndarray | None = None,
+    ):
+        self.cfg = cfg
+        self.K = np.asarray(K, dtype=np.float32)
+        self.H, self.W = images.shape[1:3]
+        self.max_frames = int(cfg.get("max_kf_pool", 128))
+        self.n_frames = len(images)
+        assert self.n_frames <= self.max_frames
+
+        self.images = images.astype(np.float32)
+        self.depths = depths.astype(np.float32)
+        self.masks = masks.astype(np.float32)
+        self.occ_masks = occ_masks
+        self.c2w_np = np.broadcast_to(np.eye(4, dtype=np.float32), (self.max_frames, 4, 4)).copy()
+        self.c2w_np[: self.n_frames] = poses.astype(np.float32)
+
+        sc = float(cfg["sc_factor"])
+        grid_spec = hashgrid.HashGridSpec(
+            num_levels=int(cfg["num_levels"]),
+            level_dim=int(cfg["feature_grid_dim"]),
+            base_res=int(cfg["base_res"]),
+            finest_res=int(cfg["finest_res"]),
+            log2_hashmap_size=int(cfg["log2_hashmap_size"]),
+        )
+        self.spec = nof_model.NofSpec(
+            grid=grid_spec,
+            sh_degree=int(cfg["multires_views"]),
+            frame_features=int(cfg["frame_features"]),
+            num_frames=self.max_frames,
+            max_trans=float(cfg["max_trans"]) * sc,
+            max_rot_deg=float(cfg["max_rot"]),
+            optimize_poses=bool(cfg["optimize_poses"]),
+        )
+        # Occupancy grid resolution from the octree voxel size (reference
+        # build_octree: level = ceil(log2(2 / (vox * sc)))).
+        vox = float(cfg["octree_smallest_voxel_size"]) * sc
+        level = max(3, int(math.ceil(math.log2(2.0 / vox))))
+        self.occ_resolution = min(256, 2 ** level)
+        dilate_vox = max(
+            1, int(math.ceil(float(cfg["octree_dilate_size"]) / float(cfg["octree_smallest_voxel_size"])))
+        )
+        self.occ_dilate = dilate_vox
+
+        self.rcfg = nof_render.RenderCfg(
+            n_samples=int(cfg["N_samples"]),
+            n_samples_around_depth=int(cfg["N_samples_around_depth"]),
+            n_march=max(128, self.occ_resolution * 2),
+            sdf_lambda=float(cfg["sdf_lambda"]),
+            neg_trunc_ratio=float(cfg["neg_trunc_ratio"]),
+            near=float(cfg["near"]),
+            far=float(cfg["far"]),
+            sc_factor=sc,
+            perturb=bool(cfg["perturb"]),
+        )
+        self.weights = nof_losses.LossWeights(
+            rgb_weight=float(cfg["rgb_weight"]),
+            fs_weight=float(cfg["fs_weight"]),
+            empty_weight=float(cfg["empty_weight"]),
+            trunc_weight=float(cfg["trunc_weight"]),
+            fs_sdf=float(cfg["fs_sdf"]),
+            neg_trunc_ratio=float(cfg["neg_trunc_ratio"]),
+            first_frame_weight=float(cfg["first_frame_weight"]),
+            feature_reg_weight=float(cfg["feature_reg_weight"]),
+            pose_reg_weight=float(cfg["pose_reg_weight"]),
+            near=float(cfg["near"]),
+            far=float(cfg["far"]),
+            sc_factor=sc,
+        )
+
+        self.build_occupancy(build_octree_pts)
+
+        key = jax.random.PRNGKey(0)
+        self.params = nof_model.init_nof_params(key, self.spec)
+        self.optimizer = make_optimizer(cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.global_step = 0
+        self.key = jax.random.PRNGKey(42)
+
+        st = TrainStatics(
+            spec=self.spec,
+            rcfg=self.rcfg,
+            weights=self.weights,
+            n_rand=int(cfg["N_rand"]),
+            n_step=int(cfg["n_step"]),
+            trunc=float(cfg["trunc"]),
+            trunc_start=float(cfg["trunc_start"]),
+            trunc_decay_type=str(cfg["trunc_decay_type"]),
+            sc_factor=sc,
+        )
+        self._train_step = make_train_step(st, self.optimizer)
+
+        self.rays_np = self._build_all_rays(range(self.n_frames))
+        self._upload_rays()
+
+    # ------------------------------------------------------------------
+    def build_occupancy(self, pts: np.ndarray):
+        pts = np.asarray(pts, dtype=np.float32).reshape(-1, 3)
+        if len(pts) == 0:
+            pts = np.zeros((1, 3), dtype=np.float32)
+        grid = occ_ops.build_occupancy_grid(
+            jnp.asarray(pts), jnp.ones(len(pts), dtype=bool), self.occ_resolution
+        )
+        self.occ_grid = occ_ops.dilate_grid(grid, self.occ_dilate)
+
+    # ------------------------------------------------------------------
+    def _build_frame_rays(self, fid: int) -> np.ndarray:
+        """Parity with make_frame_rays (nerf_runner.py:244-314)."""
+        cfg = self.cfg
+        H, W = self.H, self.W
+        sc = float(cfg["sc_factor"])
+        dirs = np.asarray(geometry.camera_rays_gl(H, W, jnp.asarray(self.K)))
+        rgb = self.images[fid]
+        depth = self.depths[fid]
+        mask = (self.masks[fid] > 0).astype(np.uint8)
+
+        invalid_depth = ((depth < cfg["near"] * sc) | (depth > cfg["far"] * sc)) & (mask > 0)
+        ray_type = invalid_depth.astype(np.float32)
+
+        # Mask dilation: frame 0 = 100 px (assumed-perfect first mask),
+        # later frames 60 px (reference :273-284).
+        import cv2
+
+        dil = 100 if fid == 0 else 60 // int(cfg["down_scale_ratio"])
+        sel = cv2.dilate(mask, np.ones((dil, dil), np.uint8), iterations=1)
+        if self.occ_masks is not None:
+            sel[self.occ_masks[fid] > 0] = 0
+        if cfg["rays_valid_depth_only"]:
+            sel[invalid_depth] = 0
+
+        vs, us = np.where(sel > 0)
+        n = len(vs)
+        if n == 0:
+            return np.zeros((0, nof_render.RAY_DIM), dtype=np.float32)
+        rays = np.zeros((n, nof_render.RAY_DIM), dtype=np.float32)
+        rays[:, nof_render.RAY_DIR] = dirs[vs, us]
+        rays[:, nof_render.RAY_RGB] = rgb[vs, us]
+        rays[:, nof_render.RAY_DEPTH] = depth[vs, us]
+        rays[:, nof_render.RAY_MASK] = mask[vs, us]
+        rays[:, nof_render.RAY_FRAME_ID] = fid
+        rays[:, nof_render.RAY_TYPE] = ray_type[vs, us]
+
+        # drop type-1 rays like the reference (:292)
+        keep = rays[:, nof_render.RAY_TYPE] == 0
+        rays = rays[keep]
+        if len(rays) == 0:
+            return rays
+
+        # near/far from ray/AABB in world; cull rays that miss occupancy.
+        pose = self.c2w_np[fid]
+        d_cam = rays[:, nof_render.RAY_DIR]
+        d_unit = d_cam / np.linalg.norm(d_cam, axis=-1, keepdims=True)
+        d_w = d_unit @ pose[:3, :3].T
+        o_w = np.broadcast_to(pose[:3, 3], d_w.shape)
+        tmin, tmax = geometry.ray_box_intersection(
+            jnp.asarray(o_w), jnp.asarray(d_w),
+            jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]),
+        )
+        tmin = np.asarray(tmin)
+        tmax = np.asarray(tmax)
+        hit_box = tmin >= 0
+        occ_hit = np.asarray(
+            occ_ops.sample_rays_in_occupied_space(
+                jax.random.PRNGKey(0), self.occ_grid, jnp.asarray(o_w), jnp.asarray(d_w),
+                n_march=self.rcfg.n_march, n_samples=1, perturb=False,
+            )[1]
+        )
+        keep = hit_box & occ_hit
+        rays = rays[keep]
+        rays[:, nof_render.RAY_NEAR] = tmin[keep]
+        rays[:, nof_render.RAY_FAR] = tmax[keep]
+        return rays
+
+    def _build_all_rays(self, frame_ids) -> np.ndarray:
+        chunks = [self._build_frame_rays(f) for f in frame_ids]
+        chunks = [c for c in chunks if len(c)]
+        if not chunks:
+            return np.zeros((0, nof_render.RAY_DIM), dtype=np.float32)
+        return np.concatenate(chunks, axis=0)
+
+    def _upload_rays(self):
+        n = len(self.rays_np)
+        # Fixed-capacity pool, doubling growth => few recompiles.
+        cap = max(1 << 14, 1 << int(math.ceil(math.log2(max(n, 1)))))
+        pool = np.zeros((cap, nof_render.RAY_DIM), dtype=np.float32)
+        pool[:n] = self.rays_np
+        self.rays_dev = jnp.asarray(pool)
+        self.n_rays = jnp.asarray(n, dtype=jnp.int32)
+        self.c2w_dev = jnp.asarray(self.c2w_np)
+
+    # ------------------------------------------------------------------
+    def train(self, n_steps: int | None = None):
+        n_steps = n_steps or int(self.cfg["n_step"])
+        metrics = {}
+        for _ in range(n_steps):
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, self.global_step, self.key,
+                self.rays_dev, self.n_rays, self.occ_grid, self.c2w_dev,
+            )
+            self.global_step += 1
+        return jax.tree_util.tree_map(lambda x: float(x), metrics)
+
+    # ------------------------------------------------------------------
+    def add_new_frames(
+        self, images, depths, masks, poses, build_octree_pts, occ_masks=None
+    ):
+        """Continual extension (reference add_new_frames nerf_runner.py:350-431):
+        append new keyframes, reset all poses to tracker output, rebuild the
+        occupancy grid, reset the pose-correction array, append rays for the
+        new frames only."""
+        n_new = len(images)
+        start = self.n_frames
+        self.images = np.concatenate([self.images, images.astype(np.float32)])
+        self.depths = np.concatenate([self.depths, depths.astype(np.float32)])
+        self.masks = np.concatenate([self.masks, masks.astype(np.float32)])
+        if occ_masks is not None and self.occ_masks is not None:
+            self.occ_masks = np.concatenate([self.occ_masks, occ_masks])
+        self.n_frames += n_new
+        assert self.n_frames <= self.max_frames
+        self.c2w_np[: self.n_frames] = poses.astype(np.float32)
+        self.build_occupancy(build_octree_pts)
+        # fresh pose corrections (reference recreates PoseArray)
+        self.params["pose_array"] = jnp.zeros_like(self.params["pose_array"])
+        self.opt_state = self.optimizer.init(self.params)
+        self.global_step = 0
+        new_rays = self._build_all_rays(range(start, self.n_frames))
+        if len(new_rays):
+            self.rays_np = np.concatenate([self.rays_np, new_rays])
+        self._upload_rays()
+
+    # ------------------------------------------------------------------
+    def extract_mesh(self, voxel_size: float | None = None, iso: float = 0.0,
+                     use_occupancy_cull: bool = True) -> mesh_utils.Mesh:
+        """Marching-tetrahedra surface of the learned SDF over [-1,1]^3
+        (reference extract_mesh nerf_runner.py:1349-1408)."""
+        cfg = self.cfg
+        voxel_size = voxel_size or float(cfg["mesh_resolution"])
+        voxel_size *= float(cfg["sc_factor"])
+        R = int(2.0 / voxel_size) + 1
+        R = min(R, 512)
+        lin = np.linspace(-1, 1, R, dtype=np.float32)
+        X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+        pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+        occ_mask = None
+        if use_occupancy_cull:
+            occ = np.asarray(
+                occ_ops.query_occupancy(self.occ_grid, jnp.asarray(pts))
+            ).reshape(R, R, R)
+            occ_mask = occ
+
+        sdf = np.full((R * R * R,), 1.0, dtype=np.float32)
+        query_idx = (
+            np.nonzero(occ_mask.reshape(-1))[0] if occ_mask is not None
+            else np.arange(R * R * R)
+        )
+        chunk = 1 << 18
+        for i in range(0, len(query_idx), chunk):
+            sel = query_idx[i : i + chunk]
+            vals = nof_model.nof_sdf(self.params, self.spec, jnp.asarray(pts[sel]))
+            sdf[sel] = np.asarray(vals)
+        sdf = sdf.reshape(R, R, R)
+        mesh = mesh_utils.marching_tetrahedra(sdf, iso=iso)
+        return mesh
+
+    # ------------------------------------------------------------------
+    def get_optimized_poses_in_real_world(self):
+        """Reference parity Utils.py:479-505: apply pose corrections,
+        denormalize (unscale + untranslate), anchor to frame 0, return CV
+        convention cam-in-object poses + the frame-0 offset."""
+        cfg = self.cfg
+        sc = float(cfg["sc_factor"])
+        translation = np.asarray(cfg["translation"], dtype=np.float32)
+        poses_n = self.c2w_np[: self.n_frames].copy()
+
+        original = poses_n.copy()
+        original[:, :3, 3] /= sc
+        original[:, :3, 3] -= translation
+
+        ids = jnp.arange(self.n_frames)
+        tf = np.asarray(nof_model.pose_array_matrices(self.params["pose_array"], self.spec, ids))
+        optimized = tf @ poses_n
+        optimized[:, :3, 3] /= sc
+        optimized[:, :3, 3] -= translation
+
+        offset = np.linalg.inv(optimized[0]) @ original[0]
+        glcam = np.asarray(geometry.GLCAM_IN_CVCAM)
+        out = np.einsum("nij,jk->nik", optimized, offset)
+        out = np.einsum("nij,jk->nik", out, glcam)
+        return out.astype(np.float32), offset.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def render_frame(self, fid: int, stride: int = 4):
+        """Render an image (subsampled) for visual inspection — the
+        replacement for render_images canvases (nerf_runner.py:767-790)."""
+        H, W = self.H, self.W
+        dirs = np.asarray(geometry.camera_rays_gl(H, W, jnp.asarray(self.K)))
+        vs, us = np.meshgrid(
+            np.arange(0, H, stride), np.arange(0, W, stride), indexing="ij"
+        )
+        vs, us = vs.reshape(-1), us.reshape(-1)
+        n = len(vs)
+        rays = np.zeros((n, nof_render.RAY_DIM), dtype=np.float32)
+        rays[:, nof_render.RAY_DIR] = dirs[vs, us]
+        rays[:, nof_render.RAY_DEPTH] = self.depths[fid][vs, us]
+        rays[:, nof_render.RAY_FRAME_ID] = fid
+        truncation = float(self.cfg["trunc"]) * float(self.cfg["sc_factor"])
+        out = nof_render.render_rays(
+            jax.random.PRNGKey(0), self.params, self.spec, self.rcfg,
+            self.occ_grid, jnp.asarray(rays), self.c2w_dev, truncation,
+        )
+        rgb = np.asarray(out["rgb_map"]).reshape(len(np.arange(0, H, stride)), -1, 3)
+        return rgb
+
+
+def mesh_to_real_world(mesh: mesh_utils.Mesh, pose_offset, translation, sc_factor):
+    """Reference parity Utils.py:508-514."""
+    mesh.vertices = mesh.vertices / sc_factor - np.asarray(translation).reshape(1, 3)
+    mesh.apply_transform(pose_offset)
+    return mesh

@@ -1,0 +1,180 @@
+"""Dense occupancy grid: the TPU-native replacement for the reference's
+kaolin SPC octree + custom CUDA ray kernels.
+
+Replaces (behavioral parity, different algorithm):
+  * octree build + 27-neighborhood dilation (reference nerf_runner.py:434-487
+    build_octree, Utils.py:359-475 OctreeManager) -> voxel scatter +
+    iterated 3^3 max-pool dilation on a dense (R,R,R) bitmask over [-1,1]^3;
+  * kaolin unbatched_raytrace + postprocessOctreeRayTracing padding kernel
+    (mycuda/common.cu:107-170) + sampleRaysUniformOccupiedVoxels
+    (mycuda/common.cu:40-105) -> a single fused, fully-vectorized program:
+    fixed-count DDA-style marching, occupancy gather, prefix-sum over
+    occupied step lengths, and inverse-CDF mapping of stratified samples
+    into occupied spans (the "prefix-sum formulation" of SURVEY.md §7).
+
+Everything is static-shape: rays x march-steps x samples dense grids that
+XLA fuses into a few VPU kernels — no per-ray variable-length lists, no
+padding kernels, no host round trips.
+
+Grid sizes here are small (typically 32^3..128^3 bools): the object
+occupies [-1,1]^3 after scene normalization, with voxel size
+``octree_smallest_voxel_size * sc_factor`` (reference config.yml:48-51).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import geometry
+
+
+@partial(jax.jit, static_argnames=("resolution",))
+def build_occupancy_grid(points: jnp.ndarray, valid: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """Scatter points in [-1,1]^3 into a dense (R, R, R) bool occupancy grid."""
+    R = resolution
+    ijk = jnp.floor((points + 1.0) * 0.5 * R).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, R - 1)
+    inside = valid & jnp.all(jnp.abs(points) <= 1.0, axis=-1)
+    flat = ijk[..., 0] * (R * R) + ijk[..., 1] * R + ijk[..., 2]
+    flat = jnp.where(inside, flat, 0)
+    grid = jnp.zeros((R * R * R,), dtype=jnp.bool_)
+    grid = grid.at[flat].max(inside)
+    return grid.reshape(R, R, R)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def dilate_grid(grid: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """3^3 max-pool dilation, ``iterations`` times (reference
+    nerf_runner.py:447-474 voxel dilation with 27 shifts x dilate_radius)."""
+    g = grid.astype(jnp.float32)
+    for _ in range(iterations):
+        g = jax.lax.reduce_window(
+            g, 0.0, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+    return g > 0.5
+
+
+def grid_occupied_centers(grid: jnp.ndarray) -> jnp.ndarray:
+    """Voxel-center coordinates of all cells, with occupancy (host helper)."""
+    R = grid.shape[0]
+    idx = jnp.stack(
+        jnp.meshgrid(jnp.arange(R), jnp.arange(R), jnp.arange(R), indexing="ij"),
+        axis=-1,
+    )
+    centers = (idx + 0.5) / R * 2.0 - 1.0
+    return centers, grid
+
+
+@jax.jit
+def query_occupancy(grid: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy lookup for points in [-1,1]^3; False outside the cube."""
+    R = grid.shape[0]
+    ijk = jnp.floor((points + 1.0) * 0.5 * R).astype(jnp.int32)
+    inside = jnp.all((ijk >= 0) & (ijk < R), axis=-1)
+    ijk = jnp.clip(ijk, 0, R - 1)
+    occ = grid[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+    return occ & inside
+
+
+@partial(jax.jit, static_argnames=("n_march", "n_samples", "perturb"))
+def sample_rays_in_occupied_space(
+    key: jax.Array,
+    grid: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    n_march: int,
+    n_samples: int,
+    depth: jnp.ndarray | None = None,
+    trunc: float = 0.0,
+    perturb: bool = True,
+):
+    """Distribute ``n_samples`` per ray across occupied space along the ray.
+
+    The continuous analogue of the reference's two-kernel pipeline
+    (octree raytrace -> sampleRaysUniformOccupiedVoxels): march ``n_march``
+    uniform probe points between the ray/[-1,1]^3 entry and exit, gather
+    occupancy, build the prefix sum of occupied step lengths (= the CDF of
+    the union-of-spans measure), and map stratified uniforms through its
+    inverse with a vectorized searchsorted.
+
+    Args:
+      rays_o, rays_d: (N, 3) origins and unit directions in grid/world frame.
+      depth: optional (N,) measured ray depth (normalized units); when given
+        and valid (> 0), occupied space beyond ``depth + trunc`` is clipped
+        out, like the reference z_in_out clamp (nerf_runner.py:992-999).
+    Returns:
+      z_vals: (N, n_samples) sorted sample distances (0 where ray misses);
+      hit:    (N,) bool — ray intersects occupied space;
+      near, far: (N,) first/last occupied probe distance (0 where miss).
+    """
+    N = rays_o.shape[0]
+    tmin, tmax = geometry.ray_box_intersection(
+        rays_o, rays_d, jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0])
+    )
+    box_hit = tmin >= 0.0
+    t0 = jnp.where(box_hit, tmin, 0.0)
+    t1 = jnp.where(box_hit, tmax, 0.0)
+    dt = (t1 - t0) / n_march  # (N,)
+    # March probe midpoints.
+    steps = (jnp.arange(n_march, dtype=jnp.float32) + 0.5)[None, :]  # (1, M)
+    t_mid = t0[:, None] + steps * dt[:, None]  # (N, M)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+    occ = query_occupancy(grid, pts.reshape(-1, 3)).reshape(N, n_march)
+    if depth is not None:
+        depth_ok = depth > 1e-6
+        clip_far = jnp.where(depth_ok, depth + trunc, jnp.inf)
+        occ = occ & (t_mid <= clip_far[:, None])
+    occ = occ & box_hit[:, None]
+
+    seg_len = jnp.where(occ, dt[:, None], 0.0)  # (N, M)
+    cdf = jnp.cumsum(seg_len, axis=-1)  # (N, M)
+    total = cdf[:, -1]  # (N,) occupied length
+    hit = total > 1e-8
+
+    # Stratified uniforms over [0, total].
+    u = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+    u = jnp.broadcast_to(u[None], (N, n_samples))
+    if perturb:
+        jitter = (jax.random.uniform(key, (N, n_samples)) - 0.5) / n_samples
+        u = jnp.clip(u + jitter, 0.0, 1.0 - 1e-6)
+    s = u * total[:, None]  # (N, S) target arc length
+
+    # Invert the prefix sum: first march step whose cdf exceeds s.
+    k = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, s)
+    k = jnp.clip(k, 0, n_march - 1)
+    cdf_prev = jnp.where(k > 0, jnp.take_along_axis(cdf, jnp.maximum(k - 1, 0), axis=-1), 0.0)
+    t_step_start = t0[:, None] + k.astype(jnp.float32) * dt[:, None]
+    # Residual arc length inside step k: the whole step is occupied.
+    z = t_step_start + (s - cdf_prev)
+    z = jnp.where(hit[:, None], z, 0.0)
+
+    # near/far: first/last occupied probe.
+    first_idx = jnp.argmax(occ, axis=-1)
+    last_idx = n_march - 1 - jnp.argmax(occ[:, ::-1], axis=-1)
+    near = jnp.where(hit, t0 + first_idx.astype(jnp.float32) * dt, 0.0)
+    far = jnp.where(hit, t0 + (last_idx.astype(jnp.float32) + 1.0) * dt, 0.0)
+    return z, hit, near, far
+
+
+@partial(jax.jit, static_argnames=("n_samples", "perturb"))
+def sample_rays_uniform(
+    key: jax.Array,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    n_samples: int,
+    perturb: bool = True,
+) -> jnp.ndarray:
+    """Stratified uniform samples in [near, far] per ray (N,) -> (N, S).
+
+    Parity with reference nerf_runner sample_rays_uniform (used for the
+    around-depth band samples, nerf_runner.py:1066-1073).
+    """
+    N = near.shape[0]
+    u = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+    u = jnp.broadcast_to(u[None], (N, n_samples))
+    if perturb:
+        jitter = (jax.random.uniform(key, (N, n_samples)) - 0.5) / n_samples
+        u = jnp.clip(u + jitter, 0.0, 1.0)
+    return near[:, None] + u * (far - near)[:, None]

@@ -1,0 +1,161 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bundlesdf_tpu.config import default_nof_config
+from bundlesdf_tpu.models import nof as nof_model
+from bundlesdf_tpu.nof import losses as nof_losses
+from bundlesdf_tpu.nof import render as nof_render
+from bundlesdf_tpu.nof.runner import NofRunner
+from bundlesdf_tpu.ops import hashgrid
+
+from synthetic import make_sphere_dataset
+
+
+def tiny_cfg():
+    cfg = default_nof_config()
+    cfg["N_rand"] = 512
+    cfg["N_samples"] = 32
+    cfg["N_samples_around_depth"] = 16
+    cfg["num_levels"] = 4
+    cfg["finest_res"] = 64
+    cfg["log2_hashmap_size"] = 16
+    cfg["octree_smallest_voxel_size"] = 0.05
+    cfg["octree_dilate_size"] = 0.05
+    cfg["max_kf_pool"] = 16
+    cfg["n_step"] = 400
+    cfg["sc_factor"] = 1.0
+    cfg["translation"] = [0.0, 0.0, 0.0]
+    return cfg
+
+
+def small_spec(num_frames=8):
+    return nof_model.NofSpec(
+        grid=hashgrid.HashGridSpec(2, 2, 16, 32, 15),
+        sh_degree=3,
+        frame_features=2,
+        num_frames=num_frames,
+    )
+
+
+def test_nof_forward_shapes():
+    spec = small_spec()
+    params = nof_model.init_nof_params(jax.random.PRNGKey(0), spec)
+    pts = jnp.array(np.random.uniform(-1, 1, (16, 8, 3)).astype(np.float32))
+    dirs = jnp.array(np.random.randn(16, 3).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    fids = jnp.zeros(16, dtype=jnp.int32)
+    raw, valid = nof_model.nof_forward(params, spec, pts, dirs, fids)
+    assert raw.shape == (16, 8, 4)
+    assert valid.shape == (16, 8)
+    assert bool(valid.all())
+    # positive-SDF bias at init: sdf should be near +0.1-ish mostly
+    assert float(raw[..., 3].mean()) > 0.0
+
+
+def test_nof_forward_invalid_outside_cube():
+    spec = small_spec()
+    params = nof_model.init_nof_params(jax.random.PRNGKey(0), spec)
+    pts = jnp.full((2, 3, 3), 2.0)
+    dirs = jnp.array([[0.0, 0, 1], [0, 0, 1]])
+    raw, valid = nof_model.nof_forward(params, spec, pts, dirs, jnp.zeros(2, jnp.int32))
+    assert not bool(valid.any())
+
+
+def test_pose_array_frame0_identity():
+    spec = small_spec()
+    data = jnp.ones((8, 6))
+    Ts = nof_model.pose_array_matrices(data, spec, jnp.arange(8))
+    np.testing.assert_allclose(np.array(Ts[0]), np.eye(4), atol=1e-6)
+    # others bounded: trans <= max_trans, rot <= max_rot
+    t = np.array(Ts[1:, :3, 3])
+    assert np.abs(t).max() <= spec.max_trans * np.sqrt(3) + 1e-5
+
+
+def test_sdf_losses_closed_form():
+    w = nof_losses.LossWeights(sc_factor=1.0, near=0.1, far=2.0)
+    # single ray, 4 samples; depth = 1.0, trunc = 0.1
+    z = jnp.array([[0.5, 0.95, 1.0, 1.5]])
+    d = jnp.full((1, 1), 1.0)
+    # perfect sdf: (d - z)/trunc within band
+    trunc = 0.1
+    sdf_perfect = (d - z) / trunc
+    sw = jnp.ones_like(z)
+    fs, sdf_l = nof_losses.sdf_losses(z, d, sdf_perfect, trunc, sw, w)
+    assert float(sdf_l) < 1e-10
+    # wrong sdf inside band incurs loss
+    fs2, sdf_l2 = nof_losses.sdf_losses(z, d, sdf_perfect + 1.0, trunc, sw, w)
+    assert float(sdf_l2) > float(sdf_l)
+
+
+def test_sdf2weights_band_and_normalization():
+    cfg = nof_render.RenderCfg(sc_factor=1.0, far=2.0)
+    z = jnp.linspace(0.5, 1.5, 64)[None]
+    depth = jnp.array([1.0])
+    w = nof_render.sdf2weights(None, z, depth, 0.05, cfg)
+    w = np.array(w[0])
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-4)
+    # mass concentrated near depth
+    zc = np.array(z[0])
+    assert abs((w * zc).sum() - 1.0) < 0.01
+    assert w[np.abs(zc - 1.0) > 0.06].max() == 0.0
+
+
+def test_sdf2weights_invalid_depth_zero():
+    cfg = nof_render.RenderCfg(sc_factor=1.0, far=2.0)
+    z = jnp.linspace(0.5, 1.5, 16)[None]
+    depth = jnp.array([5.0])  # > far
+    w = np.array(nof_render.sdf2weights(None, z, depth, 0.05, cfg))
+    assert w.max() == 0.0
+
+
+@pytest.mark.slow
+def test_nof_runner_learns_sphere():
+    data = make_sphere_dataset(n_views=6, H=48, W=48)
+    cfg = tiny_cfg()
+    runner = NofRunner(
+        cfg, data["images"], data["depths"], data["masks"], data["poses"],
+        data["K"], data["cloud"],
+    )
+    assert len(runner.rays_np) > 1000
+    m0 = runner.train(10)
+    loss0 = m0["loss"]
+    m1 = runner.train(190)
+    assert m1["loss"] < loss0
+    # SDF sign structure along +x axis: negative inside, positive outside
+    line = np.zeros((64, 3), dtype=np.float32)
+    line[:, 0] = np.linspace(0, 0.9, 64)
+    sdf = np.asarray(nof_model.nof_sdf(runner.params, runner.spec, jnp.asarray(line)))
+    r = line[:, 0]
+    inside = sdf[r < 0.2]
+    outside_band = sdf[(r > 0.35) & (r < 0.45)]
+    assert inside.mean() < outside_band.mean()
+    # mesh extraction produces a sphere-ish surface
+    mesh = runner.extract_mesh(voxel_size=0.04)
+    assert len(mesh.vertices) > 100
+    rad = np.linalg.norm(mesh.vertices, axis=-1)
+    assert abs(np.median(rad) - data["radius"]) < 0.08
+    # optimized poses: near-identity corrections, frame0 anchored
+    poses, offset = runner.get_optimized_poses_in_real_world()
+    assert poses.shape == (6, 4, 4)
+    np.testing.assert_allclose(offset, np.eye(4), atol=1e-2)
+
+
+def test_nof_runner_add_new_frames():
+    data = make_sphere_dataset(n_views=6, H=32, W=32)
+    cfg = tiny_cfg()
+    cfg["N_rand"] = 128
+    runner = NofRunner(
+        cfg, data["images"][:4], data["depths"][:4], data["masks"][:4],
+        data["poses"][:4], data["K"], data["cloud"],
+    )
+    runner.train(3)
+    n_rays_before = len(runner.rays_np)
+    runner.add_new_frames(
+        data["images"][4:], data["depths"][4:], data["masks"][4:],
+        data["poses"], data["cloud"],
+    )
+    assert runner.n_frames == 6
+    assert len(runner.rays_np) > n_rays_before
+    runner.train(3)  # still trains after extension

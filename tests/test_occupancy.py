@@ -1,0 +1,88 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bundlesdf_tpu.ops import occupancy as occ
+
+
+def test_build_and_query():
+    pts = jnp.array([[0.0, 0.0, 0.0], [0.9, 0.9, 0.9]], dtype=jnp.float32)
+    valid = jnp.array([True, True])
+    grid = occ.build_occupancy_grid(pts, valid, 32)
+    assert bool(occ.query_occupancy(grid, jnp.array([[0.0, 0.0, 0.0]]))[0])
+    assert bool(occ.query_occupancy(grid, jnp.array([[0.9, 0.9, 0.9]]))[0])
+    assert not bool(occ.query_occupancy(grid, jnp.array([[-0.9, 0.0, 0.0]]))[0])
+    # outside cube is not occupied
+    assert not bool(occ.query_occupancy(grid, jnp.array([[1.5, 0.0, 0.0]]))[0])
+
+
+def test_invalid_points_not_scattered():
+    pts = jnp.array([[0.5, 0.5, 0.5]], dtype=jnp.float32)
+    valid = jnp.array([False])
+    grid = occ.build_occupancy_grid(pts, valid, 16)
+    assert not np.array(grid).any()
+
+
+def test_dilation_grows():
+    pts = jnp.zeros((1, 3), dtype=jnp.float32)
+    grid = occ.build_occupancy_grid(pts, jnp.array([True]), 16)
+    assert np.array(grid).sum() == 1
+    d1 = occ.dilate_grid(grid, 1)
+    assert np.array(d1).sum() == 27
+    d2 = occ.dilate_grid(grid, 2)
+    assert np.array(d2).sum() == 125
+
+
+def test_sample_rays_hits_occupied_region():
+    # occupy a slab z in [0.2, 0.4]
+    zs = np.linspace(0.2, 0.4, 20)
+    xs = np.linspace(-0.5, 0.5, 20)
+    pts = np.array([[x, y, z] for x in xs for y in xs for z in zs], dtype=np.float32)
+    grid = occ.build_occupancy_grid(jnp.array(pts), jnp.ones(len(pts), bool), 32)
+    # ray along +z from (0,0,-1)
+    rays_o = jnp.array([[0.0, 0.0, -1.5]])
+    rays_d = jnp.array([[0.0, 0.0, 1.0]])
+    z, hit, near, far = occ.sample_rays_in_occupied_space(
+        jax.random.PRNGKey(0), grid, rays_o, rays_d, n_march=256, n_samples=64
+    )
+    assert bool(hit[0])
+    zw = np.array(z[0]) - 1.5  # convert t to world z
+    # all samples should fall within the slab (+- one voxel = 2/32)
+    assert zw.min() > 0.2 - 0.1
+    assert zw.max() < 0.4 + 0.1
+    # samples roughly uniformly cover the slab
+    assert zw.max() - zw.min() > 0.1
+
+
+def test_sample_rays_miss():
+    grid = jnp.zeros((16, 16, 16), dtype=bool)
+    rays_o = jnp.array([[0.0, 0.0, -1.5]])
+    rays_d = jnp.array([[0.0, 0.0, 1.0]])
+    z, hit, near, far = occ.sample_rays_in_occupied_space(
+        jax.random.PRNGKey(0), grid, rays_o, rays_d, n_march=64, n_samples=16
+    )
+    assert not bool(hit[0])
+    np.testing.assert_allclose(np.array(z[0]), 0.0)
+
+
+def test_sample_depth_clipping():
+    # fully occupied cube; samples must not pass depth+trunc
+    grid = jnp.ones((16, 16, 16), dtype=bool)
+    rays_o = jnp.array([[0.0, 0.0, -1.5]])
+    rays_d = jnp.array([[0.0, 0.0, 1.0]])
+    depth = jnp.array([1.0])  # t units from origin
+    z, hit, near, far = occ.sample_rays_in_occupied_space(
+        jax.random.PRNGKey(0), grid, rays_o, rays_d, n_march=256, n_samples=64,
+        depth=depth, trunc=0.1,
+    )
+    assert bool(hit[0])
+    assert np.array(z[0]).max() <= 1.1 + 0.02
+
+
+def test_sample_uniform():
+    z = occ.sample_rays_uniform(
+        jax.random.PRNGKey(0), jnp.array([1.0]), jnp.array([2.0]), 64, perturb=False
+    )
+    zn = np.array(z[0])
+    assert zn.min() >= 1.0 and zn.max() <= 2.0
+    assert np.all(np.diff(zn) > 0)

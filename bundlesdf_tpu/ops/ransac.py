@@ -66,6 +66,8 @@ def ransac_multi_pair(
     normals_b: jnp.ndarray,
     valid: jnp.ndarray,
     params: RansacParams = RansacParams(),
+    max_trans: jnp.ndarray | None = None,
+    max_rot_deg: jnp.ndarray | None = None,
 ):
     """Estimate a rigid transform per pair mapping pts_a -> pts_b.
 
@@ -76,6 +78,9 @@ def ransac_multi_pair(
         points into model frame before RANSAC, cuda_ransac.cu host glue).
       normals_a, normals_b: (n_pairs, n_matches, 3) unit normals (0 if none).
       valid: (n_pairs, n_matches) bool validity mask.
+      max_trans, max_rot_deg: optional per-pair (n_pairs,) model caps
+        overriding the static params (the reference's neighbor vs
+        non-neighbor gates, config_ho3d.yml:91-94).
     Returns dict with:
       "pose": (n_pairs, 4, 4) refit best model (identity if pair failed);
       "inliers": (n_pairs, n_matches) bool final inlier masks;
@@ -149,8 +154,12 @@ def ransac_multi_pair(
     rot_mag = se3.rotation_geodesic_distance(
         Rm, jnp.broadcast_to(jnp.eye(3), Rm.shape)
     )
-    cap_ok = (trans_mag <= params.max_trans) & (
-        rot_mag <= jnp.deg2rad(params.max_rot_deg)
+    if max_trans is None:
+        max_trans = jnp.full((n_pairs,), params.max_trans)
+    if max_rot_deg is None:
+        max_rot_deg = jnp.full((n_pairs,), params.max_rot_deg)
+    cap_ok = (trans_mag <= max_trans[:, None]) & (
+        rot_mag <= jnp.deg2rad(max_rot_deg)[:, None]
     )
     score = jnp.where(trial_ok & cap_ok, n_inl, -1)
     best = jnp.argmax(score, axis=-1)  # (P,)

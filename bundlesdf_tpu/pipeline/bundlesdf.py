@@ -1,0 +1,384 @@
+"""BundleSdf orchestrator: the per-frame online tracking + reconstruction
+loop with an interleaved Neural-Object-Field trainer.
+
+Re-design of the reference bundlesdf.py:
+  * ``run``               — bundlesdf.py:510-632 per-frame driver
+  * ``process_new_frame`` — bundlesdf.py:391-506 (FAIL gates, reference-
+    frame re-selection by covisibility, Procrustes bootstrap, window
+    eviction, BA-subset selection, pair matching, BA, keyframe admission)
+  * NOF scheduling        — the reference's tracker/NeRF process pair +
+    Manager-dict queue (bundlesdf.py:64-260 run_nerf, :546-617 sync logic)
+    becomes an **interleaved scheduler in one runtime**: when the newest
+    frame becomes the latest keyframe, pending keyframes are handed to the
+    NOF runner and — under strict sync (sync_max_delay 0, config.yml:102) —
+    a training chunk runs before tracking continues.  Optimized keyframe
+    poses feed back and freeze those keyframes in BA (`nerfed`), matching
+    the reference contract exactly, without pickled IPC.
+  * ``run_global_nerf``   — bundlesdf.py:636-766 offline refinement.
+
+The two "threads + memory pool" of the paper become two jitted super-steps
+(track step, NOF chunk) sharing device-resident state.
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Cfg, default_nof_config, default_track_config
+from ..io import scene_bounds as sb
+from ..nof.runner import NofRunner, mesh_to_real_world
+from ..tracking import corres as corres_mod
+from ..tracking.frame import FAIL, Frame
+from ..tracking.pool import Bundler
+from ..utils import geometry, se3
+
+GLCAM_IN_CVCAM = np.asarray(geometry.GLCAM_IN_CVCAM)
+
+
+class BundleSdf:
+    def __init__(
+        self,
+        cfg_track: Cfg | None = None,
+        cfg_nof: Cfg | None = None,
+        out_dir: str = "/tmp/bundlesdf_tpu_out",
+        start_nerf_keyframes: int = 5,
+        use_nof: bool = True,
+    ):
+        self.cfg_track = cfg_track or default_track_config()
+        self.cfg_nof = cfg_nof or default_nof_config()
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.bundler = Bundler(self.cfg_track)
+        self.start_nerf_keyframes = start_nerf_keyframes
+        self.use_nof = use_nof
+        self.cnt = -1
+        self.K = None
+        self.nof: NofRunner | None = None
+        self._kf_sent = 0          # how many keyframes have been handed to NOF
+        self._nof_poses_pending = None
+        self.mesh = None
+        self.translation = None
+        self.sc_factor = None
+        self._pcd_real = None      # running fused cloud (real scale)
+        self.poses_log: dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def run(self, color, depth, K, id_str, mask=None, occ_mask=None,
+            pose_in_model=np.eye(4)):
+        """Process one RGBD frame; returns the frame (with pose_in_model)."""
+        self.cnt += 1
+        if self.K is None:
+            self.K = np.asarray(K, dtype=np.float32)
+        depth = np.asarray(depth, dtype=np.float32).copy()
+
+        percentile = float(self.cfg_track["depth_processing"]["percentile"])
+        if percentile < 100 and mask is not None:
+            valid = (depth >= 0.1) & (mask > 0)
+            if valid.any():
+                thres = np.percentile(depth[valid], percentile)
+                depth[depth >= thres] = 0
+        frame = Frame(
+            color, depth, self.K, self.cnt, id_str, self.cfg_track,
+            pose_in_model=np.asarray(pose_in_model, dtype=np.float32),
+            fg_mask=mask, occ_mask=occ_mask,
+        )
+        self.process_new_frame(frame)
+
+        if self.use_nof and self.bundler.keyframes and self.bundler.keyframes[-1] is frame:
+            # Strict-sync NOF scheduling (sync_max_delay 0): train whenever
+            # enough keyframes are pending.
+            n_kf = len(self.bundler.keyframes)
+            if (self.nof is not None) or (n_kf >= self.start_nerf_keyframes):
+                self._run_nof_chunk()
+                self._apply_nof_feedback()
+
+        self.poses_log[id_str] = np.linalg.inv(frame.pose_in_model)  # ob_in_cam
+        return frame
+
+    # ------------------------------------------------------------------
+    def process_new_frame(self, frame: Frame):
+        """Parity with bundlesdf.py:391-506."""
+        b = self.bundler
+        b.newframe = frame
+        cfg = self.cfg_track
+
+        if frame.id > 0:
+            if b.frames:
+                ref = b.frames[sorted(b.frames.keys())[-1]]
+            elif b.keyframes:
+                ref = b.keyframes[-1]
+            else:
+                frame.status = FAIL
+                return
+            frame.ref_frame_id = ref.id
+            frame.pose_in_model = ref.pose_in_model.copy()
+        else:
+            b.firstframe = frame
+
+        if frame.id == 0 and np.abs(frame.pose_in_model - np.eye(4)).max() <= 1e-4:
+            frame.set_new_init_coordinate()
+
+        n_fg = int(frame.fg_mask.sum())
+        if n_fg < 100:
+            logging.info(f"frame {frame.id_str}: empty mask, FAIL")
+            frame.status = FAIL
+            b.forget_frame(frame)
+            return
+
+        if bool(cfg["depth_processing"]["denoise_cloud"]):
+            frame.point_cloud_denoise()
+
+        n_valid = frame.count_valid_points()
+        if frame.id > 0:
+            n_first = b.firstframe.count_valid_points()
+            if n_valid < n_first / 40.0:
+                logging.info(f"frame {frame.id_str}: too few valid points, FAIL")
+                frame.status = FAIL
+                b.forget_frame(frame)
+                return
+
+        if frame.id == 0:
+            b.check_and_add_keyframe(frame)
+            b.frames[frame.id] = frame
+            return
+
+        min_match = int(cfg["feature_corres"]["min_match_with_ref"])
+        key = jax.random.PRNGKey(frame.id)
+        corres_mod.find_corres(b.store, [(frame, ref)], cfg, key=key)
+        if b.store.n_inliers((frame.id, ref.id)) < min_match:
+            # Relocalize against the pool: try keyframes by covisibility
+            # (bundlesdf.py:443-471).
+            ranked = sorted(
+                b.keyframes, key=lambda kf: -b.covisibility(frame, kf)
+            )
+            found = False
+            for kf in ranked:
+                if kf.id == ref.id:
+                    continue
+                frame.ref_frame_id = kf.id
+                frame.pose_in_model = kf.pose_in_model.copy()
+                corres_mod.find_corres(b.store, [(frame, kf)], cfg, key=key)
+                if b.store.n_inliers((frame.id, kf.id)) >= min_match:
+                    ref = kf
+                    found = True
+                    break
+            if not found:
+                logging.info(f"frame {frame.id_str}: no suitable ref frame, FAIL")
+                frame.status = FAIL
+                b.forget_frame(frame)
+                return
+
+        offset = corres_mod.procrustes_offset(b.store, frame, ref)
+        frame.pose_in_model = (offset @ frame.pose_in_model).astype(np.float32)
+
+        window_size = int(cfg["bundle"]["window_size"])
+        if len(b.frames) - len([f for f in b.frames.values() if f in b.keyframes]) > window_size:
+            for fid in sorted(b.frames.keys()):
+                if b.forget_frame(b.frames[fid]):
+                    break
+        b.frames[frame.id] = frame
+
+        b.select_keyframes_for_ba()
+        pairs = b.get_feature_match_pairs(b.local_frames)
+        corres_mod.find_corres(b.store, pairs, cfg, key=key)
+        if frame.status == FAIL:
+            b.forget_frame(frame)
+            return
+
+        b.optimize(b.local_frames)
+        if frame.status == FAIL:
+            b.forget_frame(frame)
+            return
+
+        b.check_and_add_keyframe(frame)
+
+    # ------------------------------------------------------------------
+    def _run_nof_chunk(self):
+        """Hand pending keyframes to the NOF runner and train one chunk
+        (the reference run_nerf iteration, bundlesdf.py:64-260)."""
+        kfs = self.bundler.keyframes
+        new_kfs = kfs[self._kf_sent:]
+        if not new_kfs and self.nof is not None:
+            # No new keyframes — keep refining with the updated poses.
+            self._sync_poses_into_nof()
+            self.nof.train(int(self.cfg_nof["n_step"]))
+            return
+        if not new_kfs:
+            return
+
+        rgbs = np.stack([f.color / 255.0 if f.color.max() > 1.5 else f.color for f in new_kfs]).astype(np.float32)
+        depths = np.stack([f.depth for f in new_kfs]).astype(np.float32)
+        masks = np.stack([f.fg_mask for f in new_kfs]).astype(np.float32)
+        cam_in_obs = np.stack([f.pose_in_model for f in kfs])
+        glcam_in_obs = cam_in_obs @ GLCAM_IN_CVCAM
+
+        if self.nof is None:
+            sc, tr, pcd_real, pcd_norm = sb.compute_scene_bounds(
+                rgbs, depths, masks, self.K, glcam_in_obs,
+                eps=float(self.cfg_nof["dbscan_eps"]),
+                min_samples=int(self.cfg_nof["dbscan_eps_min_samples"]),
+            )
+            sc *= 0.7  # online margin (bundlesdf.py:151)
+            self.sc_factor = sc
+            self.translation = tr
+            self.cfg_nof["sc_factor"] = float(sc)
+            self.cfg_nof["translation"] = tr.tolist()
+            self._pcd_real = pcd_real
+            pr, pd, pm, poses_n = self._preprocess(rgbs, depths, masks, glcam_in_obs)
+            pcd_norm = (self._pcd_real + self.translation) * self.sc_factor
+            self.nof = NofRunner(
+                self.cfg_nof, pr, pd, pm, poses_n, self.K, pcd_norm
+            )
+        else:
+            # incrementally fuse new keyframe clouds (bundlesdf.py:162-177)
+            pts_new = []
+            for i, f in enumerate(new_kfs):
+                glc = f.pose_in_model @ GLCAM_IN_CVCAM
+                pts, _ = sb.fuse_frame_cloud(depths[i], rgbs[i], masks[i], self.K, glc)
+                if pts is not None:
+                    pts_new.append(pts)
+            allpts = np.concatenate([self._pcd_real] + pts_new) if pts_new else self._pcd_real
+            allpts, _ = sb.voxel_downsample(allpts, None, 0.01)
+            allpts, _ = sb.find_biggest_cluster(
+                allpts, eps=float(self.cfg_nof["dbscan_eps"]),
+                min_samples=int(self.cfg_nof["dbscan_eps_min_samples"]),
+            )
+            self._pcd_real = allpts
+            pr, pd, pm, poses_n = self._preprocess(rgbs, depths, masks, glcam_in_obs)
+            pcd_norm = (allpts + self.translation) * self.sc_factor
+            self.nof.add_new_frames(pr, pd, pm, poses_n, pcd_norm)
+
+        self._kf_sent = len(kfs)
+        self.nof.train(int(self.cfg_nof["n_step"]))
+
+        poses_out, offset = self.nof.get_optimized_poses_in_real_world()
+        self._nof_poses_pending = poses_out
+        mesh = self.nof.extract_mesh()
+        self.mesh = mesh_to_real_world(
+            mesh, offset, np.asarray(self.cfg_nof["translation"]), self.sc_factor
+        )
+
+    def _preprocess(self, rgbs, depths, masks, glcam_in_obs):
+        """preprocess_data parity (nerf_helpers.py:218-240): normalize rgb,
+        mark bad depth/color, scale depth & poses."""
+        from ..nof.runner import BAD_COLOR, BAD_DEPTH
+
+        sc = self.sc_factor
+        tr = np.asarray(self.translation)
+        rgbs = rgbs.copy()
+        depths = depths.copy()
+        depths[depths < 0.1] = BAD_DEPTH
+        rgbs[masks == 0] = BAD_COLOR / 255.0
+        depths[masks == 0] = BAD_DEPTH
+        depths = depths * sc
+        # all keyframe poses (not only new frames) — NOF runner gets the
+        # full set each extension
+        poses = glcam_in_obs.copy()
+        poses[:, :3, 3] += tr
+        poses[:, :3, 3] *= sc
+        return rgbs, depths, masks, poses.astype(np.float32)
+
+    def _sync_poses_into_nof(self):
+        kfs = self.bundler.keyframes[: self.nof.n_frames]
+        cam_in_obs = np.stack([f.pose_in_model for f in kfs])
+        glcam = cam_in_obs @ GLCAM_IN_CVCAM
+        glcam[:, :3, 3] += np.asarray(self.translation)
+        glcam[:, :3, 3] *= self.sc_factor
+        self.nof.c2w_np[: len(kfs)] = glcam.astype(np.float32)
+        self.nof._upload_rays()
+
+    def _apply_nof_feedback(self):
+        """Write optimized keyframe poses back + freeze them in BA
+        (bundlesdf.py:584-617)."""
+        if self._nof_poses_pending is None:
+            return
+        poses = self._nof_poses_pending
+        rematch = bool(self.cfg_track["feature_corres"]["rematch_after_nerf"])
+        large_update = []
+        for i in range(min(len(poses), len(self.bundler.keyframes))):
+            kf = self.bundler.keyframes[i]
+            if rematch:
+                t_upd = np.linalg.norm(poses[i][:3, 3] - kf.pose_in_model[:3, 3])
+                r_upd = float(se3.rotation_geodesic_distance(
+                    jnp.asarray(poses[i][:3, :3]),
+                    jnp.asarray(kf.pose_in_model[:3, :3]),
+                ))
+                if t_upd >= 0.005 or r_upd >= np.deg2rad(5):
+                    large_update.append(kf)
+            kf.pose_in_model = poses[i].astype(np.float32)
+            kf.nerfed = True
+        if rematch:
+            for kf in large_update:
+                self.bundler.store.forget_frame(kf.id)
+        self.bundler._cov_cache = {}
+        self._nof_poses_pending = None
+
+    # ------------------------------------------------------------------
+    def on_finish(self):
+        """Final NOF pass over any remaining keyframes (reference
+        on_finish bundlesdf.py:324-338 waits for the worker to drain)."""
+        if self.use_nof and self.bundler.keyframes:
+            if self.nof is None or self._kf_sent < len(self.bundler.keyframes):
+                self._run_nof_chunk()
+                self._apply_nof_feedback()
+        return self.mesh
+
+    # ------------------------------------------------------------------
+    def run_global_nerf(self, frames_data: list[dict], cfg_refine: Cfg | None = None,
+                        get_texture: bool = False):
+        """Offline global refinement (bundlesdf.py:636-766): retrain a NOF
+        from saved keyframe data with the offline budget, extract the final
+        cleaned mesh.
+
+        frames_data: list of dicts {color, depth, mask, cam_in_ob(4x4 CV)}.
+        """
+        from ..utils.mesh import largest_component
+
+        cfg = cfg_refine or self.cfg_nof.merged({
+            "n_step": 2000, "N_samples": 64, "N_samples_around_depth": 256,
+            "num_levels": 16, "finest_res": 256, "frame_features": 2,
+            "rgb_weight": 100.0,
+        })
+        n_limit = int(cfg["n_train_image"])
+        if len(frames_data) > n_limit:
+            idx = np.linspace(0, len(frames_data) - 1, n_limit).astype(int)
+            frames_data = [frames_data[i] for i in idx]
+
+        rgbs = np.stack([f["color"] for f in frames_data]).astype(np.float32)
+        if rgbs.max() > 1.5:
+            rgbs = rgbs / 255.0
+        depths = np.stack([f["depth"] for f in frames_data]).astype(np.float32)
+        masks = np.stack([f["mask"] for f in frames_data]).astype(np.float32)
+        cam_in_obs = np.stack([f["cam_in_ob"] for f in frames_data])
+        glcam_in_obs = cam_in_obs @ GLCAM_IN_CVCAM
+
+        if self.sc_factor is None:
+            sc, tr, pcd_real, pcd_norm = sb.compute_scene_bounds(
+                rgbs, depths, masks, self.K, glcam_in_obs,
+                eps=float(cfg["dbscan_eps"]),
+                min_samples=int(cfg["dbscan_eps_min_samples"]),
+            )
+            self.sc_factor, self.translation, self._pcd_real = sc, tr, pcd_real
+        cfg["sc_factor"] = float(self.sc_factor)
+        cfg["translation"] = np.asarray(self.translation).tolist()
+        cfg["max_kf_pool"] = max(int(cfg.get("max_kf_pool", 128)), len(frames_data))
+        saved = (self.cfg_nof, self.nof)
+        self.cfg_nof = cfg
+        pr, pd, pm, poses_n = self._preprocess(rgbs, depths, masks, glcam_in_obs)
+        pcd_norm = (self._pcd_real + self.translation) * self.sc_factor
+        nof = NofRunner(cfg, pr, pd, pm, poses_n, self.K, pcd_norm)
+        nof.train(int(cfg["n_step"]))
+        mesh = nof.extract_mesh()
+        mesh = largest_component(mesh)
+        poses_out, offset = nof.get_optimized_poses_in_real_world()
+        mesh = mesh_to_real_world(mesh, offset, np.asarray(cfg["translation"]), self.sc_factor)
+        if get_texture:
+            from ..nof.texture import bake_vertex_colors
+            mesh = bake_vertex_colors(mesh, nof, rgbs, depths, masks, cam_in_obs, self.K)
+        self.cfg_nof, _old = saved[0], saved[1]
+        self.global_nof = nof
+        return mesh, poses_out

@@ -1,0 +1,269 @@
+"""Pair preprocessing + correspondence management.
+
+Mirrors the reference GluNet feature pipeline:
+  * ``process_image_pair``   — FeatureManager.cpp:126-257 processImagePair:
+    rotate B into A's in-plane camera orientation (from current pose
+    estimates), crop both ROIs (+10 px margin), letterbox-scale to a square,
+    returning the 3x3 pixel homographies tfA/tfB;
+  * ``CorresStore``          — the `_raw_matches` / `_matches` tables
+    (FeatureManager.h:164-170) as fixed-capacity numpy arrays per pair;
+  * ``find_corres``          — the Python-driven loop bundlesdf.py:352-387:
+    warp pairs, run the matcher batch, map matches back through inverse
+    homographies, 3D-gate (rawMatchesToCorres FeatureManager.cpp:2720-2769),
+    then multi-pair RANSAC (ops/ransac.py) in model frame;
+  * ``procrustes_offset``    — FeatureManager.cpp:1050-1129
+    procrustesByCorrespondence.
+
+Image warping runs on host with OpenCV (as in the reference); matching and
+RANSAC are single batched device launches.
+"""
+from __future__ import annotations
+
+import math
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Cfg
+from ..models import matcher as matcher_mod
+from ..ops import ransac as ransac_ops
+from ..utils import se3
+from .frame import Frame
+
+
+def _rotate_image_transform(H: int, W: int, angle_rad: float) -> np.ndarray:
+    """3x3 homography rotating an image by ``angle_rad`` about its center
+    (reference Utils::getRotateImageTransform)."""
+    c, s = math.cos(angle_rad), math.sin(angle_rad)
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float64)
+    T1 = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], dtype=np.float64)
+    T2 = np.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]], dtype=np.float64)
+    return T2 @ R @ T1
+
+
+def in_plane_rotation(fa: Frame, fb: Frame) -> float:
+    """Signed in-plane (camera-z) component of the relative rotation that
+    maps B's camera orientation onto A's (reference
+    FeatureManager.cpp:140-147)."""
+    RA = fa.pose_in_model[:3, :3].T  # model -> camA
+    RB = fb.pose_in_model[:3, :3].T
+    R_BA = RA @ np.linalg.inv(RB)
+    w = np.asarray(se3.so3_log(jnp.asarray(R_BA[None], dtype=jnp.float32)))[0]
+    return float(w[2])
+
+
+def process_image_pair(fa: Frame, fb: Frame, out_size: int):
+    """Returns (warped_gray_A, warped_gray_B, tfA, tfB)."""
+    H, W = fb.H, fb.W
+    roiA, roiB = fa.roi, fb.roi
+    margin = 10
+
+    tfA = np.eye(3)
+    tfB = _rotate_image_transform(H, W, in_plane_rotation(fa, fb))
+
+    corners = np.array(
+        [[roiB[0], roiB[2], 1], [roiB[0], roiB[3], 1],
+         [roiB[1], roiB[2], 1], [roiB[1], roiB[3], 1]], dtype=np.float64
+    )
+    tc = (tfB @ corners.T).T
+    umin, umax = tc[:, 0].min(), tc[:, 0].max()
+    vmin, vmax = tc[:, 1].min(), tc[:, 1].max()
+
+    tA = np.eye(3); tA[0, 2] = -roiA[0] + margin; tA[1, 2] = -roiA[2] + margin
+    tfA = tA @ tfA
+    tB = np.eye(3); tB[0, 2] = -umin + margin; tB[1, 2] = -vmin + margin
+    tfB = tB @ tfB
+
+    WA = roiA[1] - roiA[0] + margin * 2
+    HA = roiA[3] - roiA[2] + margin * 2
+    WB = umax - umin + margin * 2
+    HB = vmax - vmin + margin * 2
+    max_dim = max(WA, HA, WB, HB)
+    sA = np.eye(3); sA[:2, :2] *= max_dim / max(WA, HA)
+    tfA = sA @ tfA
+    sB = np.eye(3); sB[:2, :2] *= max_dim / max(WB, HB)
+    tfB = sB @ tfB
+    sO = np.eye(3); sO[:2, :2] *= out_size / max_dim
+    tfA = sO @ tfA
+    tfB = sO @ tfB
+
+    outA = cv2.warpPerspective(fa.gray.astype(np.float32), tfA, (out_size, out_size))
+    outB = cv2.warpPerspective(fb.gray.astype(np.float32), tfB, (out_size, out_size))
+    return outA, outB, tfA, tfB
+
+
+def _apply_homography(tf: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    h = np.concatenate([uv, np.ones((len(uv), 1))], axis=-1) @ tf.T
+    return h[:, :2] / np.maximum(h[:, 2:3], 1e-12)
+
+
+class CorresStore:
+    """Per-pair correspondence tables (the reference `_matches` /
+    `_raw_matches` maps), keyed by (idA, idB) with idA the newer frame."""
+
+    def __init__(self, cfg: Cfg):
+        self.cfg = cfg
+        self.max_matches = int(cfg["feature_corres"]["max_matches_per_pair"])
+        self.raw: dict[tuple, np.ndarray] = {}
+        self.matches: dict[tuple, dict] = {}
+
+    def forget_frame(self, fid: int):
+        """Erase all matches touching a frame (reference forgetFrame ->
+        FeatureManager erase, Bundler.cpp:62-73)."""
+        for table in (self.raw, self.matches):
+            for k in [k for k in table if fid in k]:
+                del table[k]
+
+    def n_inliers(self, key: tuple) -> int:
+        m = self.matches.get(key)
+        return 0 if m is None else int(m["inlier"].sum())
+
+
+def gate_matches_3d(
+    fa: Frame, fb: Frame, uvA: np.ndarray, uvB: np.ndarray, max_matches: int
+) -> dict:
+    """Pixel-bounds + depth-validity gating; build camera-frame 3D
+    correspondences (reference rawMatchesToCorres / makeCorrespondence —
+    distance/normal gates are disabled in the GluNet path)."""
+    uvA = np.round(uvA).astype(np.int64)
+    uvB = np.round(uvB).astype(np.int64)
+    n = min(len(uvA), max_matches)
+    uvA, uvB = uvA[:n], uvB[:n]
+    out = {
+        "uvA": np.zeros((max_matches, 2), np.int32),
+        "uvB": np.zeros((max_matches, 2), np.int32),
+        "pA": np.zeros((max_matches, 3), np.float32),
+        "pB": np.zeros((max_matches, 3), np.float32),
+        "nA": np.zeros((max_matches, 3), np.float32),
+        "nB": np.zeros((max_matches, 3), np.float32),
+        "valid": np.zeros(max_matches, bool),
+        "inlier": np.zeros(max_matches, bool),
+    }
+    if n == 0:
+        return out
+    inb = (
+        (uvA[:, 0] >= 0) & (uvA[:, 0] < fa.W) & (uvA[:, 1] >= 0) & (uvA[:, 1] < fa.H)
+        & (uvB[:, 0] >= 0) & (uvB[:, 0] < fb.W) & (uvB[:, 1] >= 0) & (uvB[:, 1] < fb.H)
+    )
+    uvA_c = np.clip(uvA, 0, [fa.W - 1, fa.H - 1])
+    uvB_c = np.clip(uvB, 0, [fb.W - 1, fb.H - 1])
+    zA = fa.depth[uvA_c[:, 1], uvA_c[:, 0]]
+    zB = fb.depth[uvB_c[:, 1], uvB_c[:, 0]]
+    ok = inb & (zA > 0.1) & (zB > 0.1)
+    out["uvA"][:n] = uvA_c
+    out["uvB"][:n] = uvB_c
+    out["pA"][:n] = fa.xyz[uvA_c[:, 1], uvA_c[:, 0]]
+    out["pB"][:n] = fb.xyz[uvB_c[:, 1], uvB_c[:, 0]]
+    out["nA"][:n] = fa.normals[uvA_c[:, 1], uvA_c[:, 0]]
+    out["nB"][:n] = fb.normals[uvB_c[:, 1], uvB_c[:, 0]]
+    out["valid"][:n] = ok
+    return out
+
+
+def find_corres(
+    store: CorresStore,
+    pairs: list[tuple[Frame, Frame]],
+    cfg: Cfg,
+    matcher_cfg: matcher_mod.CornerMatcherCfg | None = None,
+    key: jax.Array | None = None,
+    matcher_fn=None,
+):
+    """Full correspondence pipeline for a list of (new, old) frame pairs.
+
+    Populates store.matches[(idA, idB)] with gated + RANSAC-filtered
+    correspondences.  Mirrors BundleSdf.find_corres (bundlesdf.py:352-387):
+    warp -> batched match -> unwarp -> 3D gate -> multi-pair RANSAC.
+    """
+    if not pairs:
+        return
+    fc = cfg["feature_corres"]
+    out_size = int(fc["resize"])
+    if matcher_cfg is None:
+        matcher_cfg = matcher_mod.CornerMatcherCfg(max_matches=store.max_matches)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    imgsA, imgsB, tfsA, tfsB = [], [], [], []
+    for fa, fb in pairs:
+        a, b, ta, tb = process_image_pair(fa, fb, out_size)
+        imgsA.append(a); imgsB.append(b); tfsA.append(ta); tfsB.append(tb)
+
+    if matcher_fn is None:
+        res = matcher_mod.match_pairs_batched(
+            jnp.asarray(np.stack(imgsA)), jnp.asarray(np.stack(imgsB)), matcher_cfg
+        )
+        corres_b = np.asarray(res["corres"])
+        valid_b = np.asarray(res["valid"])
+    else:
+        corres_b, valid_b = matcher_fn(np.stack(imgsA), np.stack(imgsB))
+
+    rcfg = cfg["ransac"]
+    params = ransac_ops.RansacParams(
+        n_trials=int(rcfg["max_iter"]),
+        inlier_dist=float(rcfg["inlier_dist"]),
+        inlier_normal_angle_deg=float(rcfg["inlier_normal_angle"]),
+        min_match_after_ransac=int(rcfg["min_match_after_ransac"]),
+    )
+
+    gated = []
+    for i, (fa, fb) in enumerate(pairs):
+        sel = valid_b[i]
+        cc = corres_b[i][sel]
+        uvA = _apply_homography(np.linalg.inv(tfsA[i]), cc[:, 0:2])
+        uvB = _apply_homography(np.linalg.inv(tfsB[i]), cc[:, 2:4])
+        g = gate_matches_3d(fa, fb, uvA, uvB, store.max_matches)
+        store.raw[(fa.id, fb.id)] = np.concatenate(
+            [g["uvA"], g["uvB"]], axis=-1
+        ).astype(np.uint16)
+        gated.append(g)
+
+    # Model-frame points for RANSAC (reference runRansacMultiPairGPU host
+    # glue transforms matches by the current poses).
+    P = len(pairs)
+    M = store.max_matches
+    ptsA = np.zeros((P, M, 3), np.float32)
+    ptsB = np.zeros((P, M, 3), np.float32)
+    nA = np.zeros((P, M, 3), np.float32)
+    nB = np.zeros((P, M, 3), np.float32)
+    valid = np.zeros((P, M), bool)
+    max_trans = np.zeros(P, np.float32)
+    max_rot = np.zeros(P, np.float32)
+    for i, (fa, fb) in enumerate(pairs):
+        g = gated[i]
+        Ta, Tb = fa.pose_in_model, fb.pose_in_model
+        ptsA[i] = g["pA"] @ Ta[:3, :3].T + Ta[:3, 3]
+        ptsB[i] = g["pB"] @ Tb[:3, :3].T + Tb[:3, 3]
+        nA[i] = g["nA"] @ Ta[:3, :3].T
+        nB[i] = g["nB"] @ Tb[:3, :3].T
+        valid[i] = g["valid"]
+        neighbor = abs(fa.id - fb.id) == 1
+        max_trans[i] = float(rcfg["max_trans_neighbor"] if neighbor else rcfg["max_trans_no_neighbor"])
+        max_rot[i] = float(rcfg["max_rot_deg_neighbor"] if neighbor else rcfg["max_rot_no_neighbor"])
+
+    res = ransac_ops.ransac_multi_pair(
+        key, jnp.asarray(ptsA), jnp.asarray(ptsB), jnp.asarray(nA), jnp.asarray(nB),
+        jnp.asarray(valid), params, jnp.asarray(max_trans), jnp.asarray(max_rot),
+    )
+    inliers = np.asarray(res["inliers"])
+    for i, (fa, fb) in enumerate(pairs):
+        g = gated[i]
+        g["inlier"] = inliers[i] & g["valid"]
+        store.matches[(fa.id, fb.id)] = g
+
+
+def procrustes_offset(store: CorresStore, fa: Frame, fb: Frame) -> np.ndarray:
+    """Pose increment from the inlier correspondences of (fa, fb):
+    ``pose_a <- offset @ pose_a`` (reference procrustesByCorrespondence)."""
+    m = store.matches.get((fa.id, fb.id))
+    if m is None or m["inlier"].sum() < 3:
+        return np.eye(4, dtype=np.float32)
+    Ta, Tb = fa.pose_in_model, fb.pose_in_model
+    src = m["pA"] @ Ta[:3, :3].T + Ta[:3, 3]
+    dst = m["pB"] @ Tb[:3, :3].T + Tb[:3, 3]
+    T = se3.kabsch(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(m["inlier"], dtype=jnp.float32)
+    )
+    return np.asarray(T)

@@ -1,0 +1,297 @@
+"""Keyframe memory pool + pose-graph bookkeeping (the reference Bundler).
+
+Re-design of BundleTrack/src/Bundler.{h,cpp}: the sliding non-keyframe
+window, the dynamic keyframe memory pool, keyframe admission
+(checkAndAddKeyframe Bundler.cpp:263-323), BA subset selection
+(selectKeyFramesForBA :430-609 — 'normal_orientation_nearest',
+'nearest_rotations', 'greedy_rot' implemented), covisibility-gated match
+pair enumeration (getFeatureMatchPairs :781-807), BA assembly + launch
+(optimizeGPU :810-956) and post-BA pose sanity gating (:926-946).
+
+Host-side bookkeeping is plain Python over Frame objects; all numerics
+(covisibility, BA) are batched device launches.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Cfg
+from ..ops import image as image_ops
+from ..utils import geometry, se3
+from . import ba as ba_mod
+from .corres import CorresStore
+from .frame import FAIL, Frame, compute_covisibility
+
+
+class Bundler:
+    def __init__(self, cfg: Cfg):
+        self.cfg = cfg
+        self.frames: dict[int, Frame] = {}     # sliding window (non-keyframes)
+        self.keyframes: list[Frame] = []
+        self.firstframe: Frame | None = None
+        self.newframe: Frame | None = None
+        self.local_frames: list[Frame] = []
+        self.store = CorresStore(cfg)
+        self._cov_cache: dict[tuple, float] = {}
+        # Fixed BA edge capacity: pairs x per-pair cap (static for jit).
+        self.max_ba_frames = int(cfg["bundle"]["max_BA_frames"])
+        self.ba_edge_cap = self.max_ba_frames * (self.max_ba_frames - 1) // 2 * 256
+
+    # ------------------------------------------------------------------
+    def covisibility(self, fa: Frame, fb: Frame) -> float:
+        key = (fa.id, fb.id)
+        if key not in self._cov_cache:
+            self._cov_cache[key] = compute_covisibility(
+                fa, fb, float(self.cfg["visible_angle"])
+            )
+        return self._cov_cache[key]
+
+    def forget_frame(self, f: Frame) -> bool:
+        """Reference Bundler.cpp:62-73: drop a non-keyframe (or failed
+        frame) and erase its matches."""
+        if f in self.keyframes and f.status != FAIL:
+            return False
+        self.frames.pop(f.id, None)
+        if f in self.keyframes:
+            self.keyframes.remove(f)
+        self.store.forget_frame(f.id)
+        self._cov_cache = {
+            k: v for k, v in self._cov_cache.items() if f.id not in k
+        }
+        return True
+
+    # ------------------------------------------------------------------
+    def check_and_add_keyframe(self, frame: Frame) -> bool:
+        """Reference Bundler.cpp:263-323."""
+        if frame.id == 0:
+            self.keyframes.append(frame)
+            return True
+        if frame.status != 0:
+            return False
+        kf_cfg = self.cfg["keyframe"]
+        n_valid = frame.count_valid_points()
+        n_first = self.firstframe.count_valid_points()
+        if n_valid < n_first / 10.0:
+            return False
+        min_rot = np.deg2rad(float(kf_cfg["min_rot"]))
+        for kf in self.keyframes:
+            rot_diff = float(
+                se3.rotation_geodesic_distance_ignore_cam_z(
+                    jnp.asarray(frame.pose_in_model[:3, :3].T),
+                    jnp.asarray(kf.pose_in_model[:3, :3].T),
+                )
+            )
+            if rot_diff < min_rot:
+                return False
+        min_visible = float(kf_cfg["min_visible"])
+        if min_visible < 1.0:
+            for kf in self.keyframes:
+                if self.covisibility(frame, kf) > min_visible:
+                    return False
+        self.keyframes.append(frame)
+        return True
+
+    # ------------------------------------------------------------------
+    def select_keyframes_for_ba(self):
+        """Reference Bundler.cpp:430-609."""
+        method = str(self.cfg["bundle"]["subset_selection_method"])
+        max_frames = self.max_ba_frames
+        nf = self.newframe
+        if len(self.keyframes) + 1 <= max_frames:
+            chosen = {f.id: f for f in self.keyframes}
+            chosen[nf.id] = nf
+            self.local_frames = sorted(chosen.values(), key=lambda f: f.id)
+            return
+
+        chosen = {nf.id: nf}
+        if method == "greedy_rot":
+            chosen[self.keyframes[0].id] = self.keyframes[0]
+            while len(chosen) < max_frames:
+                best, best_d = None, np.inf
+                for kf in self.keyframes:
+                    if kf.id in chosen:
+                        continue
+                    cum = sum(
+                        float(se3.rotation_geodesic_distance_ignore_cam_z(
+                            jnp.asarray(kf.pose_in_model[:3, :3].T),
+                            jnp.asarray(f.pose_in_model[:3, :3].T),
+                        ))
+                        for f in chosen.values()
+                    )
+                    if cum < best_d:
+                        best, best_d = kf, cum
+                chosen[best.id] = best
+        elif method == "nearest_rotations":
+            dists = [
+                (float(se3.rotation_geodesic_distance_ignore_cam_z(
+                    jnp.asarray(nf.pose_in_model[:3, :3].T),
+                    jnp.asarray(kf.pose_in_model[:3, :3].T),
+                )), kf)
+                for kf in self.keyframes
+            ]
+            for _, kf in sorted(dists, key=lambda x: x[0]):
+                if len(chosen) >= max_frames:
+                    break
+                chosen[kf.id] = kf
+        else:  # normal_orientation_nearest (default, config_ho3d.yml:39)
+            vis = [(self.covisibility(nf, kf), kf) for kf in self.keyframes]
+            for _, kf in sorted(vis, key=lambda x: -x[0]):
+                if len(chosen) >= max_frames:
+                    break
+                chosen[kf.id] = kf
+        self.local_frames = sorted(chosen.values(), key=lambda f: f.id)
+
+    # ------------------------------------------------------------------
+    def get_feature_match_pairs(self, frames: list[Frame]) -> list[tuple]:
+        """Reference Bundler.cpp:781-807: enumerate unmatched pairs gated by
+        covisibility >= non_neighbor_min_visible."""
+        pairs = []
+        min_vis = float(self.cfg["bundle"]["non_neighbor_min_visible"])
+        for i in range(len(frames)):
+            for j in range(i + 1, len(frames)):
+                fa, fb = frames[j], frames[i]
+                if (fa.id, fb.id) in self.store.matches:
+                    continue
+                if np.abs(fa.pose_in_model - np.eye(4)).max() <= 1e-6:
+                    continue
+                if self.covisibility(fa, fb) < min_vis:
+                    self.store.matches[(fa.id, fb.id)] = None  # marked skip
+                    continue
+                pairs.append((fa, fb))
+        return pairs
+
+    # ------------------------------------------------------------------
+    def _dense_maps(self, frames: list[Frame]):
+        """Downsampled xyz/normal maps for the dense BA term (reference
+        CUDACache downsampled frames, bundle.image_downscale)."""
+        factor = int(self.cfg["bundle"]["image_downscale"])
+        xyzs, nrms, oks = [], [], []
+        for f in frames:
+            if not hasattr(f, "_ds_cache") or f._ds_cache[0] != factor:
+                d = f.depth[::factor, ::factor]
+                K_ds = f.K.copy()
+                K_ds[:2] /= factor
+                xyz = np.asarray(geometry.depth_to_xyz(jnp.asarray(d), jnp.asarray(K_ds)))
+                nrm = f.normals[::factor, ::factor]
+                ok = (d > 0.1) & (np.linalg.norm(nrm, axis=-1) > 0.5)
+                f._ds_cache = (factor, xyz, nrm, ok, K_ds)
+            _, xyz, nrm, ok, K_ds = f._ds_cache
+            xyzs.append(xyz)
+            nrms.append(nrm)
+            oks.append(ok)
+        return np.stack(xyzs), np.stack(nrms), np.stack(oks), frames[0]._ds_cache[4]
+
+    def optimize(self, frames: list[Frame]):
+        """Assemble + launch the BA (reference optimizeGPU Bundler.cpp:810-956)."""
+        bcfg = self.cfg["bundle"]
+        frames = sorted(frames, key=lambda f: f.id)
+        N = self.max_ba_frames
+        n_act = len(frames)
+        local_idx = {f.id: i for i, f in enumerate(frames)}
+
+        # Sparse edges from inlier matches.
+        cap = self.ba_edge_cap
+        ii = np.zeros(cap, np.int32)
+        jj = np.zeros(cap, np.int32)
+        pi = np.zeros((cap, 3), np.float32)
+        pj = np.zeros((cap, 3), np.float32)
+        cvalid = np.zeros(cap, bool)
+        e = 0
+        total_edges = 0
+        for i in range(n_act):
+            for j in range(i + 1, n_act):
+                fa, fb = frames[j], frames[i]
+                m = self.store.matches.get((fa.id, fb.id))
+                if m is None:
+                    continue
+                sel = np.nonzero(m["inlier"])[0][:256]
+                k = min(len(sel), cap - e)
+                if k <= 0:
+                    continue
+                sel = sel[:k]
+                ii[e : e + k] = local_idx[fa.id]
+                jj[e : e + k] = local_idx[fb.id]
+                pi[e : e + k] = m["pA"][sel]
+                pj[e : e + k] = m["pB"][sel]
+                cvalid[e : e + k] = True
+                e += k
+                total_edges += k
+        if total_edges == 0:
+            self.newframe.status = FAIL
+            return
+
+        poses = np.stack(
+            [f.pose_in_model for f in frames]
+            + [np.eye(4, dtype=np.float32)] * (N - n_act)
+        )
+        fixed = np.zeros(N, bool)
+        fixed[0] = True
+        for i, f in enumerate(frames):
+            if f.nerfed:
+                fixed[i] = True
+        fixed[n_act:] = True
+
+        xyz_ds, nrm_ds, ok_ds, K_ds = self._dense_maps(frames)
+        h, w = xyz_ds.shape[1:3]
+        pad = N - n_act
+        if pad:
+            xyz_ds = np.concatenate([xyz_ds, np.zeros((pad, h, w, 3), np.float32)])
+            nrm_ds = np.concatenate([nrm_ds, np.zeros((pad, h, w, 3), np.float32)])
+            ok_ds = np.concatenate([ok_ds, np.zeros((pad, h, w), bool)])
+        n_pair_cap = N * (N - 1) // 2
+        pair_i = np.zeros(n_pair_cap, np.int32)
+        pair_j = np.zeros(n_pair_cap, np.int32)
+        pair_valid = np.zeros(n_pair_cap, bool)
+        p = 0
+        for i in range(n_act):
+            for j in range(i + 1, n_act):
+                pair_i[p] = j
+                pair_j[p] = i
+                pair_valid[p] = True
+                p += 1
+
+        params = ba_mod.BAParams(
+            num_iter_outer=int(bcfg["num_iter_outter"]),
+            robust_delta=float(bcfg["robust_delta"]),
+            w_fm=float(bcfg["w_fm"]),
+            w_p2p=float(bcfg["w_p2p"]),
+            image_downscale=int(bcfg["image_downscale"]),
+            dense_max_dist=float(self.cfg["p2p"]["max_dist"]),
+            dense_max_normal_angle=float(self.cfg["p2p"]["max_normal_angle"]),
+            icp_rot_thres_deg=float(bcfg["icp_pose_rot_thres"]),
+        )
+        out, _info = ba_mod.bundle_adjust(
+            jnp.asarray(poses.astype(np.float32)), jnp.asarray(fixed),
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(pi), jnp.asarray(pj),
+            jnp.asarray(cvalid),
+            jnp.asarray(pair_i), jnp.asarray(pair_j), jnp.asarray(pair_valid),
+            jnp.asarray(xyz_ds.astype(np.float32)), jnp.asarray(nrm_ds.astype(np.float32)),
+            jnp.asarray(ok_ds), jnp.asarray(K_ds.astype(np.float32)),
+            params, N,
+        )
+        out = np.asarray(out)
+
+        # Post-BA sanity check on the new frame vs its immediate-previous
+        # reference (Bundler.cpp:926-946).
+        nf = self.newframe
+        new_pose = out[local_idx[nf.id]]
+        if nf.ref_frame_id == nf.id - 1 and nf.ref_frame_id in self.frames:
+            rcfg = self.cfg["ransac"]
+            ref = self.frames[nf.ref_frame_id]
+            inv_new = np.linalg.inv(new_pose)
+            inv_ref = np.linalg.inv(ref.pose_in_model)
+            trans_diff = np.linalg.norm(inv_new[:3, 3] - inv_ref[:3, 3])
+            rot_diff = float(se3.rotation_geodesic_distance(
+                jnp.asarray(inv_new[:3, :3]), jnp.asarray(inv_ref[:3, :3])
+            ))
+            if trans_diff > float(rcfg["max_trans_neighbor"]) or rot_diff > np.deg2rad(
+                float(rcfg["max_rot_deg_neighbor"])
+            ):
+                nf.status = FAIL
+                return
+
+        for i, f in enumerate(frames):
+            f.pose_in_model = out[i]
+        self._cov_cache = {}

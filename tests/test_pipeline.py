@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from bundlesdf_tpu.config import default_nof_config, default_track_config
+from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
+from bundlesdf_tpu.utils import metrics
+
+from synthetic_cube import make_cube_sequence, cube_model_points
+
+
+def small_track_cfg():
+    cfg = default_track_config()
+    cfg["feature_corres"]["resize"] = 160
+    cfg["feature_corres"]["max_matches_per_pair"] = 256
+    cfg["ransac"]["max_iter"] = 512
+    cfg["bundle"]["max_BA_frames"] = 5
+    cfg["bundle"]["image_downscale"] = 4
+    cfg["depth_processing"]["percentile"] = 100
+    return cfg
+
+
+def small_nof_cfg():
+    cfg = default_nof_config()
+    cfg["n_step"] = 30
+    cfg["N_rand"] = 256
+    cfg["N_samples"] = 24
+    cfg["N_samples_around_depth"] = 12
+    cfg["num_levels"] = 4
+    cfg["finest_res"] = 64
+    cfg["log2_hashmap_size"] = 16
+    cfg["octree_smallest_voxel_size"] = 0.05
+    cfg["octree_dilate_size"] = 0.05
+    cfg["max_kf_pool"] = 32
+    cfg["mesh_resolution"] = 0.04
+    return cfg
+
+
+@pytest.mark.slow
+def test_tracking_only_cube_sequence():
+    data = make_cube_sequence(n_frames=8, deg_per_frame=3.0)
+    tracker = BundleSdf(cfg_track=small_track_cfg(), use_nof=False)
+    for k in range(8):
+        tracker.run(
+            data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+            mask=data["masks"][k],
+        )
+    # All frames got poses
+    assert len(tracker.poses_log) == 8
+    preds = np.stack([tracker.poses_log[f"{k:04d}"] for k in range(8)])
+    gts = data["gt_ob_in_cam"]
+    model_pts = cube_model_points(data["half"])
+    res = metrics.trajectory_add_auc(preds, gts, model_pts, max_val=0.1)
+    # tracking quality: sub-cm mean ADD on this easy synthetic sequence
+    assert res["mean_add"] < 0.01, res
+    assert res["adds_auc"] > 0.9, res
+
+
+@pytest.mark.slow
+def test_joint_loop_with_nof_smoke():
+    data = make_cube_sequence(n_frames=6, deg_per_frame=6.0)
+    tracker = BundleSdf(
+        cfg_track=small_track_cfg(), cfg_nof=small_nof_cfg(),
+        start_nerf_keyframes=3, use_nof=True,
+    )
+    for k in range(6):
+        tracker.run(
+            data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+            mask=data["masks"][k],
+        )
+    mesh = tracker.on_finish()
+    assert mesh is not None and len(mesh.vertices) > 50
+    # With 6 views over ~30 deg only the observed front shell is
+    # reconstructible; assert the shell lies ON the true cube surface.
+    # model frame = centroid-recentered first-camera object frame:
+    T_cube_to_model = tracker.bundler.firstframe.pose_in_model @ data["gt_ob_in_cam"][0]
+    inv_T = np.linalg.inv(T_cube_to_model)
+    v_cube = mesh.vertices @ inv_T[:3, :3].T + inv_T[:3, 3]
+    h = data["half"]
+    q = np.abs(v_cube) - h
+    outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+    inside = np.minimum(q.max(axis=-1), 0)
+    surf_dist = np.abs(outside + inside)
+    assert np.median(surf_dist) < 0.03, np.median(surf_dist)
+    extent = v_cube.max(axis=0) - v_cube.min(axis=0)
+    assert extent.max() < 0.5, extent  # not blown up
+    # keyframes got NOF feedback
+    assert any(kf.nerfed for kf in tracker.bundler.keyframes)
+    preds = np.stack([tracker.poses_log[f"{k:04d}"] for k in range(6)])
+    gts = data["gt_ob_in_cam"]
+    model_pts = cube_model_points(data["half"])
+    res = metrics.trajectory_add_auc(preds, gts, model_pts, max_val=0.1)
+    assert res["mean_add"] < 0.03, res

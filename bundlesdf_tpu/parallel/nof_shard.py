@@ -1,0 +1,109 @@
+"""Data-parallel + table-sharded NOF training step.
+
+The multi-chip version of nof/runner.make_train_step: the ray batch is
+sharded over the ``dp`` mesh axis and the hash-grid table rows over the
+same devices (index-sharded embedding — the gather/scatter-add cross in the
+backward pass becomes XLA all-to-all/psum collectives inserted by GSPMD).
+Parameters other than the table are replicated; the Adam update is
+computed identically on every device.
+
+This is the TPU answer to the reference's single-GPU torch loop +
+nothing-else (SURVEY.md §2.5): NOF rays scale data-parallel over chips and
+the map (hash table) scales with table sharding, over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..nof import runner as nof_runner
+
+
+def make_dp_train_step(st: nof_runner.TrainStatics, optimizer, mesh: Mesh,
+                       shard_table: bool = True):
+    """Build a jitted multi-device training step over ``mesh`` (axis 'dp').
+
+    Same signature/semantics as nof/runner.make_train_step's product, plus
+    sharding annotations:
+      * the sampled ray batch is constrained to P('dp') on axis 0;
+      * params['table'] is constrained to P('dp') rows when shard_table.
+    """
+    base_step_impl = _make_impl(st, optimizer, mesh, shard_table)
+    table_spec = P("dp") if shard_table else P()
+
+    def place(params, opt_state, rays, grid, c2w):
+        """Device-place state according to the step's shardings."""
+        repl = NamedSharding(mesh, P())
+        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+        if shard_table:
+            params["table"] = jax.device_put(
+                params["table"], NamedSharding(mesh, table_spec)
+            )
+        opt_state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), opt_state)
+        rays = jax.device_put(rays, repl)
+        grid = jax.device_put(grid, repl)
+        c2w = jax.device_put(c2w, repl)
+        return params, opt_state, rays, grid, c2w
+
+    return base_step_impl, place
+
+
+def _make_impl(st: nof_runner.TrainStatics, optimizer, mesh: Mesh, shard_table: bool):
+    import optax
+    from ..nof import losses as nof_losses
+    from ..nof import render as nof_render
+
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+    table_sharding = NamedSharding(mesh, P("dp", None) if shard_table else P())
+
+    def loss_fn(params, key, batch, grid, c2w, step):
+        truncation = nof_losses.truncation_value(
+            step, st.n_step, st.trunc, st.trunc_start, st.sc_factor,
+            st.trunc_decay_type,
+        )
+        out = nof_render.render_rays(
+            key, params, st.spec, st.rcfg, grid, batch, c2w, truncation
+        )
+        target_rgb = batch[:, nof_render.RAY_RGB]
+        target_d = batch[:, nof_render.RAY_DEPTH]
+        frame_ids = batch[:, nof_render.RAY_FRAME_ID].astype(jnp.int32)
+        ray_type = batch[:, nof_render.RAY_TYPE]
+        valid_samples = out["valid_samples"].astype(jnp.float32)
+        sdf = out["raw"][..., 3]
+        valid_rays = (out["valid_samples"].any(axis=-1)) & (ray_type == 0)
+        ray_w = jnp.where(frame_ids == 0, st.weights.first_frame_weight, 1.0)
+        ray_w = ray_w * valid_rays.astype(jnp.float32)
+        sample_w = ray_w[:, None] * valid_samples
+        loss = st.weights.rgb_weight * jnp.mean(
+            (out["rgb_map"] - target_rgb) ** 2 * ray_w[:, None]
+        )
+        fs_raw, sdf_raw = nof_losses.sdf_losses(
+            out["z_vals"], target_d[:, None], sdf, truncation, sample_w, st.weights
+        )
+        loss = loss + fs_raw * st.weights.fs_weight + sdf_raw * st.weights.trunc_weight
+        if st.spec.frame_features > 0:
+            loss = loss + st.weights.feature_reg_weight * jnp.mean(
+                params["feature_array"] ** 2
+            )
+        return loss
+
+    @jax.jit
+    def train_step(params, opt_state, step, key, rays, n_rays, grid, c2w):
+        if shard_table:
+            params = dict(params)
+            params["table"] = jax.lax.with_sharding_constraint(
+                params["table"], table_sharding
+            )
+        kb, kr = jax.random.split(jax.random.fold_in(key, step))
+        idx = jax.random.randint(kb, (st.n_rand,), 0, jnp.maximum(n_rays, 1))
+        batch = rays[idx]
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        loss, grads = jax.value_and_grad(loss_fn)(params, kr, batch, grid, c2w, step)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss}
+
+    return train_step

@@ -52,6 +52,11 @@ def remove_statistical_outliers(pts: np.ndarray, nb_neighbors: int = 30,
 
 def find_biggest_cluster(pts: np.ndarray, eps: float = 0.06, min_samples: int = 1):
     """Reference tool.py:18-25."""
+    if len(pts) == 0:
+        raise ValueError(
+            "scene-bounds: fused object cloud is empty — no keyframe had "
+            "valid masked depth (check depth units/percentile filter/mask)"
+        )
     labels = DBSCAN(eps=eps, min_samples=min_samples, n_jobs=-1).fit(pts).labels_
     ids, cnts = np.unique(labels, return_counts=True)
     best = ids[cnts.argmax()]

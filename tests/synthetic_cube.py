@@ -5,9 +5,14 @@ from scipy.spatial.transform import Rotation
 
 
 def render_cube_rgbd(ob_in_cam: np.ndarray, K: np.ndarray, H: int, W: int,
-                     half: float = 0.15, checker: int = 6):
-    """Ray-trace an axis-aligned checkered cube of half-size ``half``
+                     half: float = 0.15, checker: int = 6,
+                     texture: str = "dots"):
+    """Ray-trace an axis-aligned textured cube of half-size ``half``
     (object frame) seen from a CV camera with object pose ``ob_in_cam``.
+
+    texture='checker' is periodic and ALIASES for feature matching (RANSAC
+    can lock onto lattice-shifted poses); 'dots' (default) overlays unique
+    random dots so matches are unambiguous.
 
     Returns (rgb [0,255] float, depth (z, meters), mask)."""
     T_oc = np.linalg.inv(ob_in_cam)  # cam -> object
@@ -38,6 +43,16 @@ def render_cube_rgbd(ob_in_cam: np.ndarray, K: np.ndarray, H: int, W: int,
     cell = 2 * half / checker
     par = (np.floor(loc1 / cell) + np.floor(loc2 / cell)).astype(np.int64) % 2
     rgb = np.where(par[..., None] == 0, rgb, rgb * 0.35)
+    if texture == "dots":
+        # Unique aperiodic detail: hash face-local integer lattice coords at
+        # a fine pitch into pseudo-random brightness dots (deterministic).
+        pitch = cell / 4.0
+        i1 = np.floor(loc1 / pitch).astype(np.int64)
+        i2 = np.floor(loc2 / pitch).astype(np.int64)
+        hsh = (i1 * 73856093) ^ (i2 * 19349663) ^ ((ax + 1) * 83492791)
+        rnd = ((hsh % 1000003).astype(np.float64) / 1000003.0)
+        rgb = rgb * (0.45 + 0.9 * rnd[..., None])
+        rgb = np.clip(rgb, 0, 255)
     sign_mask = np.take_along_axis(p, ax[..., None], axis=-1)[..., 0] > 0
     rgb = np.where(sign_mask[..., None], rgb, rgb * 0.8)
     rgb = np.where(hit[..., None], rgb, 0.0)

@@ -39,7 +39,8 @@ class YcbineoatReader:
         "tomato_soup_can_yalehand0": "005_tomato_soup_can",
     }
 
-    def __init__(self, video_dir: str, downscale: float = 1, shorter_side=None):
+    def __init__(self, video_dir: str, downscale: float = 1, shorter_side=None,
+                 prefetch: bool = True):
         self.video_dir = video_dir
         self.downscale = downscale
         self.color_files = sorted(glob.glob(f"{video_dir}/rgb/*.png"))
@@ -57,6 +58,28 @@ class YcbineoatReader:
         self.K = self.K.copy()
         self.K[:2] *= self.downscale
         self.gt_pose_files = sorted(glob.glob(f"{video_dir}/annotated_poses/*"))
+        # Native threaded prefetch loader (decode+resize off the tracker's
+        # critical path); per-channel getters serve from a one-frame cache.
+        self._loader = None
+        self._cached = (-1, None)
+        if prefetch:
+            try:
+                from .. import native
+
+                if native.available():
+                    self._loader = native.FrameLoader(
+                        self.color_files,
+                        [f.replace("rgb", "depth") for f in self.color_files],
+                        [f.replace("rgb", "masks") for f in self.color_files],
+                        H=self.H, W=self.W,
+                    )
+            except Exception as e:  # pragma: no cover - fallback path
+                logging.info("native frame loader unavailable: %s", e)
+
+    def _get_frame(self, i):
+        if self._cached[0] != i:
+            self._cached = (i, self._loader.get(i))
+        return self._cached[1]
 
     def get_video_name(self):
         return self.video_dir.rstrip("/").split("/")[-1]
@@ -65,10 +88,14 @@ class YcbineoatReader:
         return len(self.color_files)
 
     def get_color(self, i):
+        if self._loader is not None:
+            return self._get_frame(i)[0]
         color = imageio.imread(self.color_files[i])[..., :3]
         return cv2.resize(color, (self.W, self.H), interpolation=cv2.INTER_NEAREST)
 
     def get_mask(self, i):
+        if self._loader is not None:
+            return (self._get_frame(i)[2] > 0).astype(np.uint8)
         mask = cv2.imread(self.color_files[i].replace("rgb", "masks"), -1)
         if mask is None:
             return np.zeros((self.H, self.W), np.uint8)
@@ -77,6 +104,8 @@ class YcbineoatReader:
         return cv2.resize(mask, (self.W, self.H), interpolation=cv2.INTER_NEAREST)
 
     def get_depth(self, i):
+        if self._loader is not None:
+            return self._get_frame(i)[1]
         depth = cv2.imread(self.color_files[i].replace("rgb", "depth"), -1) / 1e3
         return cv2.resize(
             depth, (self.W, self.H), interpolation=cv2.INTER_NEAREST

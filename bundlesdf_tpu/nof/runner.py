@@ -106,6 +106,32 @@ class TrainStatics(NamedTuple):
     trunc_start: float
     trunc_decay_type: str
     sc_factor: float
+    # Gradient-accumulation chunk (rays). 0 = single fused batch. Chunking
+    # bounds activation memory at the offline budget (320 samples/ray x 16
+    # hash levels OOMs 16G HBM un-chunked); losses are plain means over
+    # fixed shapes so equal-chunk accumulation is exact.
+    microbatch: int = 0
+
+
+def _pick_microbatch(n_rand: int, samples_per_ray: int, num_levels: int,
+                     override: int = 0) -> int:
+    """Choose the grad-accumulation chunk so the hash-encode working set
+    (rays x samples x levels x 8 corners) stays within a ~256M-element
+    budget.  0 = no chunking needed.  Chunks are exact divisors of n_rand
+    so chunked means equal the fused mean."""
+    if override:
+        return override
+    budget = 2 * 1024 * 1024  # ray-sample-level elements before x8 corners
+    load = n_rand * samples_per_ray * num_levels
+    if load <= budget:
+        return 0
+    n_chunks = (load + budget - 1) // budget
+    mb = n_rand
+    for div in range(n_chunks, n_rand + 1):
+        if n_rand % div == 0:
+            mb = n_rand // div
+            break
+    return max(mb, 1)
 
 
 def make_train_step(st: TrainStatics, optimizer):
@@ -154,14 +180,42 @@ def make_train_step(st: TrainStatics, optimizer):
         metrics["valid_rays"] = jnp.sum(valid_rays)
         return loss, metrics
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     @jax.jit
     def train_step(params, opt_state, step, key, rays, n_rays, grid, c2w):
         kb, kr = jax.random.split(jax.random.fold_in(key, step))
         idx = jax.random.randint(kb, (st.n_rand,), 0, jnp.maximum(n_rays, 1))
         batch = rays[idx]
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, kr, batch, grid, c2w, step
-        )
+        mb = st.microbatch
+        if mb and mb < st.n_rand:
+            n_chunks = (st.n_rand + mb - 1) // mb
+            pad = n_chunks * mb - st.n_rand
+            if pad:
+                batch = jnp.concatenate([batch, batch[:pad]], axis=0)
+            chunks = batch.reshape(n_chunks, mb, batch.shape[-1])
+            keys = jax.random.split(kr, n_chunks)
+
+            def body(carry, xs):
+                g_acc, m_acc = carry
+                k, ch = xs
+                (_, m), g = grad_fn(params, k, ch, grid, c2w, step)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                m_acc = jax.tree_util.tree_map(jnp.add, m_acc, m)
+                return (g_acc, m_acc), None
+
+            (_, m0), g0 = grad_fn(params, keys[0], chunks[0], grid, c2w, step)
+            (grads, metrics), _ = jax.lax.scan(
+                body, (g0, m0), (keys[1:], chunks[1:])
+            )
+            inv = 1.0 / n_chunks
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            metrics = {
+                k: (v if k == "valid_rays" else v * inv)
+                for k, v in metrics.items()
+            }
+        else:
+            (_, metrics), grads = grad_fn(params, kr, batch, grid, c2w, step)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -265,16 +319,23 @@ class NofRunner:
         self.global_step = 0
         self.key = jax.random.PRNGKey(42)
 
+        n_rand = int(cfg["N_rand"])
         st = TrainStatics(
             spec=self.spec,
             rcfg=self.rcfg,
             weights=self.weights,
-            n_rand=int(cfg["N_rand"]),
+            n_rand=n_rand,
             n_step=int(cfg["n_step"]),
             trunc=float(cfg["trunc"]),
             trunc_start=float(cfg["trunc_start"]),
             trunc_decay_type=str(cfg["trunc_decay_type"]),
             sc_factor=sc,
+            microbatch=_pick_microbatch(
+                n_rand,
+                self.rcfg.n_samples + self.rcfg.n_samples_around_depth,
+                self.spec.grid.num_levels,
+                int(cfg.get("micro_batch", 0)),
+            ),
         )
         self._train_step = make_train_step(st, self.optimizer)
 

@@ -76,3 +76,153 @@ def vertex_colors_from_field(
     )
     rgb = np.asarray(jax.nn.sigmoid(raw[:, 0, :3]))
     return (rgb * 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- UV bake
+def _triangle_atlas(n_faces: int, tex_size: int, cell: int):
+    """Trivial per-face UV atlas: two right triangles per cell x cell texel
+    square (replaces xatlas unwrap — lower quality seams, zero deps).
+
+    Returns (uv (n_faces, 3, 2) in [0,1], texel tables:
+    face_of_texel (T, T) int32 -1, bary_of_texel (T, T, 3))."""
+    cols = tex_size // cell
+    pad = 1  # interior padding in texels to avoid bleeding
+    uv = np.zeros((n_faces, 3, 2), np.float64)
+    face_of = np.full((tex_size, tex_size), -1, np.int32)
+    bary_of = np.zeros((tex_size, tex_size, 3), np.float32)
+
+    jj, ii = np.meshgrid(np.arange(cell), np.arange(cell), indexing="ij")
+    lower = ii + jj <= cell - 1  # lower-left triangle mask of the cell
+
+    for f in range(n_faces):
+        cidx = f // 2
+        r, c = divmod(cidx, cols)
+        if (r + 1) * cell > tex_size:
+            raise ValueError(
+                f"atlas overflow: {n_faces} faces need cell {cell} cols {cols}"
+            )
+        x0, y0 = c * cell, r * cell
+        if f % 2 == 0:  # lower-left triangle: corners (0,0), (1,0), (0,1)
+            corners = np.array([[x0 + pad, y0 + pad],
+                                [x0 + cell - 1 - pad, y0 + pad],
+                                [x0 + pad, y0 + cell - 1 - pad]], np.float64)
+            m = lower
+        else:           # upper-right triangle: corners (1,1), (0,1), (1,0)
+            corners = np.array([[x0 + cell - 1 - pad, y0 + cell - 1 - pad],
+                                [x0 + pad, y0 + cell - 1 - pad],
+                                [x0 + cell - 1 - pad, y0 + pad]], np.float64)
+            m = ~lower
+        uv[f] = corners / tex_size
+        # barycentric of each covered texel wrt the corner triangle
+        ys, xs = np.nonzero(m)
+        px = x0 + xs + 0.0
+        py = y0 + ys + 0.0
+        ax, ay = corners[0]; bx, by = corners[1]; cx, cy = corners[2]
+        d = (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
+        w0 = ((bx - px) * (cy - py) - (cx - px) * (by - py)) / d
+        w1 = ((cx - px) * (ay - py) - (ax - px) * (cy - py)) / d
+        w2 = 1.0 - w0 - w1
+        keep = (w0 > -0.3) & (w1 > -0.3) & (w2 > -0.3)
+        w = np.clip(np.stack([w0, w1, w2], -1), 0, None)
+        w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)
+        face_of[y0 + ys[keep], x0 + xs[keep]] = f
+        bary_of[y0 + ys[keep], x0 + xs[keep]] = w[keep]
+    return uv, face_of, bary_of
+
+
+def bake_texture_from_train_images(
+    mesh: mesh_utils.Mesh,
+    rgbs: np.ndarray,
+    depths: np.ndarray,
+    masks: np.ndarray,
+    cam_in_obs: np.ndarray,
+    K: np.ndarray,
+    tex_size: int = 1024,
+    depth_tol: float = 0.01,
+):
+    """Full UV texture atlas baked from training views (reference
+    mesh_texture_from_train_images nerf_runner.py:1467-1541: xatlas unwrap
+    + pyrender depth rasterize + rayColorToTextureImageCUDA barycentric
+    bake -> weighted texel average).  Here: trivial per-face atlas +
+    native C++ z-buffer rasterizer for occlusion + vectorized texel bake.
+
+    Returns (mesh_with_uv, texture (T, T, 3) uint8).  mesh gains
+    ``face_uv`` (F, 3, 2).
+    """
+    from .. import native
+
+    F = len(mesh.faces)
+    cell = max(4, int(np.floor(tex_size / np.ceil(np.sqrt(np.ceil(F / 2))))))
+    cell = min(cell, 64)
+    uv, face_of, bary_of = _triangle_atlas(F, tex_size, cell)
+
+    ys, xs = np.nonzero(face_of >= 0)
+    f_id = face_of[ys, xs]                     # (M,)
+    bary = bary_of[ys, xs]                     # (M, 3)
+    tri = mesh.vertices[mesh.faces[f_id]]      # (M, 3, 3)
+    pts = np.einsum("mk,mkc->mc", bary, tri)   # (M, 3) object-frame texel pts
+    nrm = mesh.face_normals[f_id]              # (M, 3)
+
+    H, W = depths.shape[1:3]
+    acc = np.zeros((len(pts), 3))
+    wacc = np.zeros(len(pts))
+    use_native = native.available()
+    for i in range(len(rgbs)):
+        ob_in_cam = np.linalg.inv(cam_in_obs[i])
+        if use_native:
+            rdepth, _, _ = native.rasterize(
+                mesh.vertices, mesh.faces, K, ob_in_cam, H, W
+            )
+        else:
+            rdepth = depths[i]
+        pc = pts @ ob_in_cam[:3, :3].T + ob_in_cam[:3, 3]
+        z = pc[:, 2]
+        u = np.round(K[0, 0] * pc[:, 0] / np.maximum(z, 1e-6) + K[0, 2]).astype(int)
+        v = np.round(K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + K[1, 2]).astype(int)
+        ok = (z > 0.01) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        uu = np.clip(u, 0, W - 1); vv = np.clip(v, 0, H - 1)
+        # self-occlusion: texel visible iff its depth matches the rasterized
+        # front surface
+        visible = ok & (np.abs(rdepth[vv, uu] - z) < depth_tol)
+        if masks is not None:
+            visible &= masks[i][vv, uu] > 0
+        # view-quality weight: cosine of face normal vs view ray
+        n_cam = nrm @ ob_in_cam[:3, :3].T
+        view = pc / np.maximum(np.linalg.norm(pc, axis=-1, keepdims=True), 1e-9)
+        cosw = np.clip(-(n_cam * view).sum(-1), 0.0, 1.0)
+        w = visible * cosw
+        col = rgbs[i][vv, uu]
+        if col.max() > 1.5:
+            col = col / 255.0
+        acc += col * w[:, None]
+        wacc += w
+    texel_rgb = np.where(wacc[:, None] > 0, acc / np.maximum(wacc[:, None], 1e-9), 0.5)
+
+    tex = np.full((tex_size, tex_size, 3), 128, np.uint8)
+    tex[ys, xs] = (texel_rgb * 255).astype(np.uint8)
+    out = mesh.copy()
+    out.face_uv = uv
+    return out, tex
+
+
+def export_textured_obj(mesh: mesh_utils.Mesh, tex: np.ndarray, path: str):
+    """OBJ + MTL + PNG export of a UV-textured mesh (reference
+    textured_mesh.obj output, bundlesdf.py:765)."""
+    import cv2
+
+    base = path[:-4] if path.endswith(".obj") else path
+    name = base.split("/")[-1]
+    cv2.imwrite(f"{base}.png", mesh_tex_bgr := tex[::-1, :, ::-1])  # V-flip for OBJ
+    with open(f"{base}.mtl", "w") as f:
+        f.write(f"newmtl material_0\nKd 1 1 1\nmap_Kd {name}.png\n")
+    with open(f"{base}.obj", "w") as f:
+        f.write(f"mtllib {name}.mtl\nusemtl material_0\n")
+        for v in mesh.vertices:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for fuv in mesh.face_uv:
+            for uvi in fuv:
+                f.write(f"vt {uvi[0]} {uvi[1]}\n")
+        for i, face in enumerate(mesh.faces):
+            a, b, c = face + 1
+            t = 3 * i + 1
+            f.write(f"f {a}/{t} {b}/{t + 1} {c}/{t + 2}\n")

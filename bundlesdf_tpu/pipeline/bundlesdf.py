@@ -392,8 +392,13 @@ class BundleSdf:
         poses_out, offset = nof.get_optimized_poses_in_real_world()
         mesh = mesh_to_real_world(mesh, offset, np.asarray(cfg["translation"]), self.sc_factor)
         if get_texture:
-            from ..nof.texture import bake_vertex_colors
+            from ..nof.texture import (bake_texture_from_train_images,
+                                       bake_vertex_colors)
             mesh = bake_vertex_colors(mesh, nof, rgbs, depths, masks, cam_in_obs, self.K)
+            mesh, tex = bake_texture_from_train_images(
+                mesh, rgbs, depths, masks, cam_in_obs, self.K
+            )
+            self.texture = tex
         self.cfg_nof, _old = saved[0], saved[1]
         self.global_nof = nof
         return mesh, poses_out

@@ -46,7 +46,17 @@ def render_mesh_splat(mesh: Mesh, ob_in_cam: np.ndarray, K: np.ndarray,
 
 def rasterize_mesh(mesh: Mesh, ob_in_cam: np.ndarray, K: np.ndarray,
                    H: int, W: int):
-    """Exact triangle rasterization (z-buffer).  Returns (depth, face_id)."""
+    """Exact triangle rasterization (z-buffer).  Returns (depth, face_id).
+
+    Uses the native C++ rasterizer (native/src/host_runtime.cpp
+    bsl_rasterize) when built; numpy fallback below."""
+    from .. import native
+
+    if native.available():
+        depth, face_id, _ = native.rasterize(
+            mesh.vertices, mesh.faces, K, ob_in_cam, H, W
+        )
+        return depth.astype(np.float64), face_id.astype(np.int64)
     V = mesh.vertices @ ob_in_cam[:3, :3].T + ob_in_cam[:3, 3]
     z = V[:, 2]
     u = K[0, 0] * V[:, 0] / np.maximum(z, 1e-6) + K[0, 2]

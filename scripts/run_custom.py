@@ -66,7 +66,12 @@ def run_one_video_global_nerf(out_folder, get_texture=True):
         h, w = frames[0]["depth"].shape
         tracker.K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
     mesh, poses = tracker.run_global_nerf(frames, get_texture=get_texture)
-    mesh.export(f"{out_folder}/textured_mesh.obj")
+    if getattr(mesh, "face_uv", None) is not None and getattr(tracker, "texture", None) is not None:
+        from bundlesdf_tpu.nof.texture import export_textured_obj
+
+        export_textured_obj(mesh, tracker.texture, f"{out_folder}/textured_mesh.obj")
+    else:
+        mesh.export(f"{out_folder}/textured_mesh.obj")
     np.savetxt(f"{out_folder}/poses_after_global_refine.txt", poses.reshape(-1, 4))
     print(f"global refine done -> {out_folder}/textured_mesh.obj")
 

@@ -159,3 +159,40 @@ def test_nof_runner_add_new_frames():
     assert runner.n_frames == 6
     assert len(runner.rays_np) > n_rays_before
     runner.train(3)  # still trains after extension
+
+
+def test_microbatched_train_step_matches_fused():
+    """Gradient accumulation over ray chunks must reproduce the fused
+    update exactly (losses are plain means over fixed shapes)."""
+    from bundlesdf_tpu.nof.runner import NofRunner, _pick_microbatch
+
+    data = make_sphere_dataset(n_views=4, H=32, W=32)
+    cfg = tiny_cfg()
+    cfg["N_rand"] = 256
+    cfg["perturb"] = False  # rng-free sampling: chunked == fused exactly
+    r_fused = NofRunner(cfg, data["images"], data["depths"], data["masks"],
+                        data["poses"], data["K"], data["cloud"])
+    cfg2 = dict(cfg)
+    cfg2["micro_batch"] = 64
+    r_chunk = NofRunner(cfg2, data["images"], data["depths"], data["masks"],
+                        data["poses"], data["K"], data["cloud"])
+    m_f = r_fused.train(3)
+    m_c = r_chunk.train(3)
+    np.testing.assert_allclose(m_c["loss"], m_f["loss"], rtol=2e-4)
+    leaves_f = jax.tree_util.tree_leaves(r_fused.params)
+    leaves_c = jax.tree_util.tree_leaves(r_chunk.params)
+    for a, b in zip(leaves_f, leaves_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_pick_microbatch():
+    from bundlesdf_tpu.nof.runner import _pick_microbatch
+
+    # online budget stays fused
+    assert _pick_microbatch(2048, 192, 4) == 0
+    # offline budget chunks to an exact divisor
+    mb = _pick_microbatch(2048, 320, 16)
+    assert mb > 0 and 2048 % mb == 0
+    assert mb * 320 * 16 <= 2 * 1024 * 1024
+    # explicit override wins
+    assert _pick_microbatch(2048, 320, 16, override=128) == 128

@@ -1,0 +1,93 @@
+"""UV texture baking (nof/texture.py bake_texture_from_train_images)."""
+import os
+
+import numpy as np
+import pytest
+
+from bundlesdf_tpu.nof import texture as tex_mod
+from bundlesdf_tpu.utils.mesh import Mesh
+
+
+def _cube_mesh(half=0.5):
+    v = np.array(
+        [[x, y, z] for x in (-half, half) for y in (-half, half) for z in (-half, half)],
+        np.float64,
+    )
+    f = np.array([
+        [0, 1, 3], [0, 3, 2],  # -x
+        [4, 6, 7], [4, 7, 5],  # +x
+        [0, 4, 5], [0, 5, 1],  # -y
+        [2, 3, 7], [2, 7, 6],  # +y
+        [0, 2, 6], [0, 6, 4],  # -z
+        [1, 5, 7], [1, 7, 3],  # +z
+    ], np.int64)
+    return Mesh(v, f)
+
+
+def test_triangle_atlas_covers_all_faces():
+    uv, face_of, bary_of = tex_mod._triangle_atlas(12, 256, 32)
+    present = np.unique(face_of[face_of >= 0])
+    assert set(present.tolist()) == set(range(12))
+    # barycentrics sum to 1 on covered texels
+    m = face_of >= 0
+    np.testing.assert_allclose(bary_of[m].sum(-1), 1.0, atol=1e-5)
+    assert uv.shape == (12, 3, 2)
+    assert uv.min() >= 0 and uv.max() <= 1
+
+
+def test_bake_texture_red_camera_view(tmp_path):
+    """A cube seen by one camera looking at its +z face under uniform red
+    light: baked texels of the +z face must be red; unseen faces keep the
+    0.5 default."""
+    mesh = _cube_mesh(0.3)
+    H = W = 96
+    K = np.array([[96.0, 0, 48], [0, 96.0, 48], [0, 0, 1]], np.float32)
+    # camera at z = +2 looking along -z in CV convention: ob_in_cam maps
+    # object -> camera with the object 2m ahead
+    ob_in_cam = np.eye(4)
+    ob_in_cam[2, 3] = 2.0
+    # 180-deg flip so the camera sees the +z face
+    ob_in_cam[0, 0] = -1.0
+    ob_in_cam[2, 2] = -1.0
+    ob_in_cam[2, 3] = 2.0
+    cam_in_ob = np.linalg.inv(ob_in_cam)
+
+    rgb = np.zeros((H, W, 3), np.float32)
+    rgb[..., 0] = 1.0  # red everywhere
+    from bundlesdf_tpu import native
+
+    if native.available():
+        depth, _, _ = native.rasterize(mesh.vertices, mesh.faces, K, ob_in_cam, H, W)
+    else:
+        pytest.skip("native rasterizer required")
+    mask = (depth > 0).astype(np.float32)
+
+    out, tex = tex_mod.bake_texture_from_train_images(
+        mesh, rgb[None], depth[None], mask[None], cam_in_ob[None], K,
+        tex_size=256,
+    )
+    assert out.face_uv.shape == (12, 3, 2)
+    # +z face (face ids 10, 11) should be baked red
+    uv, face_of, _ = tex_mod._triangle_atlas(12, 256, tex._atlas_cell if hasattr(tex, "_atlas_cell") else 64)
+    # instead: look up texels through face_uv midpoints
+    for fid in (10, 11):
+        mid_uv = out.face_uv[fid].mean(axis=0)
+        x = int(mid_uv[0] * 256)
+        y = int(mid_uv[1] * 256)
+        texel = tex[y, x]
+        assert texel[0] > 200 and texel[1] < 60, (fid, texel)
+    # -z face never seen -> default gray
+    for fid in (8, 9):
+        mid_uv = out.face_uv[fid].mean(axis=0)
+        x = int(mid_uv[0] * 256)
+        y = int(mid_uv[1] * 256)
+        texel = tex[y, x]
+        assert abs(int(texel[0]) - 128) < 10, (fid, texel)
+
+    # textured OBJ export roundtrip
+    tex_mod.export_textured_obj(out, tex, str(tmp_path / "m.obj"))
+    assert os.path.exists(tmp_path / "m.obj")
+    assert os.path.exists(tmp_path / "m.mtl")
+    assert os.path.exists(tmp_path / "m.png")
+    txt = open(tmp_path / "m.obj").read()
+    assert "vt " in txt and "mtllib" in txt

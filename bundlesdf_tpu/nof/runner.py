@@ -33,6 +33,7 @@ from ..config import Cfg
 from ..models import nof as nof_model
 from ..ops import hashgrid, occupancy as occ_ops
 from ..utils import geometry, mesh as mesh_utils, se3
+from ..utils.profiler import span
 from . import losses as nof_losses
 from . import render as nof_render
 
@@ -347,8 +348,16 @@ class NofRunner:
         pts = np.asarray(pts, dtype=np.float32).reshape(-1, 3)
         if len(pts) == 0:
             pts = np.zeros((1, 3), dtype=np.float32)
+        # Pad to a power-of-2 bucket: the fused-cloud size changes every
+        # chunk and each distinct shape would recompile the scatter on TPU.
+        n = len(pts)
+        cap = 1 << max(10, (n - 1).bit_length())
+        valid = np.zeros(cap, dtype=bool)
+        valid[:n] = True
+        pts_pad = np.zeros((cap, 3), dtype=np.float32)
+        pts_pad[:n] = pts
         grid = occ_ops.build_occupancy_grid(
-            jnp.asarray(pts), jnp.ones(len(pts), dtype=bool), self.occ_resolution
+            jnp.asarray(pts_pad), jnp.asarray(valid), self.occ_resolution
         )
         self.occ_grid = occ_ops.dilate_grid(grid, self.occ_dilate)
 
@@ -441,6 +450,11 @@ class NofRunner:
     def train(self, n_steps: int | None = None):
         n_steps = n_steps or int(self.cfg["n_step"])
         metrics = {}
+        with span(f"nof/train"):
+            return self._train_inner(n_steps)
+
+    def _train_inner(self, n_steps):
+        metrics = {}
         for _ in range(n_steps):
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, self.global_step, self.key,
@@ -480,6 +494,11 @@ class NofRunner:
     # ------------------------------------------------------------------
     def extract_mesh(self, voxel_size: float | None = None, iso: float = 0.0,
                      use_occupancy_cull: bool = True) -> mesh_utils.Mesh:
+        with span("nof/extract_mesh"):
+            return self._extract_mesh_impl(voxel_size, iso, use_occupancy_cull)
+
+    def _extract_mesh_impl(self, voxel_size=None, iso=0.0,
+                           use_occupancy_cull=True):
         """Marching-tetrahedra surface of the learned SDF over [-1,1]^3
         (reference extract_mesh nerf_runner.py:1349-1408)."""
         cfg = self.cfg
@@ -506,8 +525,14 @@ class NofRunner:
         chunk = 1 << 18
         for i in range(0, len(query_idx), chunk):
             sel = query_idx[i : i + chunk]
-            vals = nof_model.nof_sdf(self.params, self.spec, jnp.asarray(pts[sel]))
-            sdf[sel] = np.asarray(vals)
+            # pad the tail chunk so every launch shares one compiled shape
+            q = pts[sel]
+            if len(q) < chunk:
+                q = np.concatenate(
+                    [q, np.zeros((chunk - len(q), 3), np.float32)]
+                )
+            vals = nof_model.nof_sdf(self.params, self.spec, jnp.asarray(q))
+            sdf[sel] = np.asarray(vals)[: len(sel)]
         sdf = sdf.reshape(R, R, R)
         mesh = mesh_utils.marching_tetrahedra(sdf, iso=iso)
         return mesh

@@ -32,6 +32,7 @@ from ..config import Cfg, default_nof_config, default_track_config
 from ..io import scene_bounds as sb
 from ..nof.runner import NofRunner, mesh_to_real_world
 from ..tracking import corres as corres_mod
+from ..utils.profiler import span
 from ..tracking.frame import FAIL, Frame
 from ..tracking.pool import Bundler
 from ..utils import geometry, se3
@@ -83,20 +84,24 @@ class BundleSdf:
             if valid.any():
                 thres = np.percentile(depth[valid], percentile)
                 depth[depth >= thres] = 0
-        frame = Frame(
-            color, depth, self.K, self.cnt, id_str, self.cfg_track,
-            pose_in_model=np.asarray(pose_in_model, dtype=np.float32),
-            fg_mask=mask, occ_mask=occ_mask,
-        )
-        self.process_new_frame(frame)
+        with span("track/make_frame"):
+            frame = Frame(
+                color, depth, self.K, self.cnt, id_str, self.cfg_track,
+                pose_in_model=np.asarray(pose_in_model, dtype=np.float32),
+                fg_mask=mask, occ_mask=occ_mask,
+            )
+        with span("track/process_new_frame"):
+            self.process_new_frame(frame)
 
         if self.use_nof and self.bundler.keyframes and self.bundler.keyframes[-1] is frame:
             # Strict-sync NOF scheduling (sync_max_delay 0): train whenever
             # enough keyframes are pending.
             n_kf = len(self.bundler.keyframes)
             if (self.nof is not None) or (n_kf >= self.start_nerf_keyframes):
-                self._run_nof_chunk()
-                self._apply_nof_feedback()
+                with span("nof/chunk"):
+                    self._run_nof_chunk()
+                with span("nof/feedback"):
+                    self._apply_nof_feedback()
 
         self.poses_log[id_str] = np.linalg.inv(frame.pose_in_model)  # ob_in_cam
         if self.save_artifacts:
@@ -156,7 +161,8 @@ class BundleSdf:
 
         min_match = int(cfg["feature_corres"]["min_match_with_ref"])
         key = jax.random.PRNGKey(frame.id)
-        corres_mod.find_corres(b.store, [(frame, ref)], cfg, key=key)
+        with span("track/find_corres_ref"):
+            corres_mod.find_corres(b.store, [(frame, ref)], cfg, key=key)
         if b.store.n_inliers((frame.id, ref.id)) < min_match:
             # Relocalize against the pool: try keyframes by covisibility
             # (bundlesdf.py:443-471).
@@ -190,14 +196,17 @@ class BundleSdf:
                     break
         b.frames[frame.id] = frame
 
-        b.select_keyframes_for_ba()
+        with span("track/select_keyframes"):
+            b.select_keyframes_for_ba()
         pairs = b.get_feature_match_pairs(b.local_frames)
-        corres_mod.find_corres(b.store, pairs, cfg, key=key)
+        with span("track/find_corres_ba"):
+            corres_mod.find_corres(b.store, pairs, cfg, key=key)
         if frame.status == FAIL:
             b.forget_frame(frame)
             return
 
-        b.optimize(b.local_frames)
+        with span("track/ba"):
+            b.optimize(b.local_frames)
         if frame.status == FAIL:
             b.forget_frame(frame)
             return
@@ -232,11 +241,12 @@ class BundleSdf:
             self._kf_sent = len(kfs)
             return
         if self.nof is None:
-            sc, tr, pcd_real, pcd_norm = sb.compute_scene_bounds(
-                rgbs, depths, masks, self.K, glcam_in_obs,
-                eps=float(self.cfg_nof["dbscan_eps"]),
-                min_samples=int(self.cfg_nof["dbscan_eps_min_samples"]),
-            )
+            with span("nof/scene_bounds"):
+                sc, tr, pcd_real, pcd_norm = sb.compute_scene_bounds(
+                    rgbs, depths, masks, self.K, glcam_in_obs,
+                    eps=float(self.cfg_nof["dbscan_eps"]),
+                    min_samples=int(self.cfg_nof["dbscan_eps_min_samples"]),
+                )
             sc *= 0.7  # online margin (bundlesdf.py:151)
             self.sc_factor = sc
             self.translation = tr
@@ -245,9 +255,10 @@ class BundleSdf:
             self._pcd_real = pcd_real
             pr, pd, pm, poses_n = self._preprocess(rgbs, depths, masks, glcam_in_obs)
             pcd_norm = (self._pcd_real + self.translation) * self.sc_factor
-            self.nof = NofRunner(
-                self.cfg_nof, pr, pd, pm, poses_n, self.K, pcd_norm
-            )
+            with span("nof/create_runner"):
+                self.nof = NofRunner(
+                    self.cfg_nof, pr, pd, pm, poses_n, self.K, pcd_norm
+                )
         else:
             # incrementally fuse new keyframe clouds (bundlesdf.py:162-177)
             pts_new = []
@@ -265,7 +276,8 @@ class BundleSdf:
             self._pcd_real = allpts
             pr, pd, pm, poses_n = self._preprocess(rgbs, depths, masks, glcam_in_obs)
             pcd_norm = (allpts + self.translation) * self.sc_factor
-            self.nof.add_new_frames(pr, pd, pm, poses_n, pcd_norm)
+            with span("nof/add_new_frames"):
+                self.nof.add_new_frames(pr, pd, pm, poses_n, pcd_norm)
 
         self._kf_sent = len(kfs)
         self.nof.train(int(self.cfg_nof["n_step"]))
@@ -340,6 +352,9 @@ class BundleSdf:
             if self.nof is None or self._kf_sent < len(self.bundler.keyframes):
                 self._run_nof_chunk()
                 self._apply_nof_feedback()
+        from ..utils.profiler import report
+
+        logging.info("timing profile:\n%s", report(min_total=0.01))
         return self.mesh
 
     # ------------------------------------------------------------------

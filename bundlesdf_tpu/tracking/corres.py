@@ -191,14 +191,24 @@ def find_corres(
         a, b, ta, tb = process_image_pair(fa, fb, out_size)
         imgsA.append(a); imgsB.append(b); tfsA.append(ta); tfsB.append(tb)
 
+    # Pad the pair batch to a power-of-2 bucket: the per-frame pair count is
+    # data-dependent, and every distinct batch size would trigger a fresh
+    # XLA compile of the matcher + RANSAC (minutes on TPU).  Padded slots
+    # repeat pair 0 and are discarded below.
+    n_real = len(pairs)
+    n_pad = 1 << max(0, (n_real - 1).bit_length())
+    for _ in range(n_pad - n_real):
+        imgsA.append(imgsA[0]); imgsB.append(imgsB[0])
+
     if matcher_fn is None:
         res = matcher_mod.match_pairs_batched(
             jnp.asarray(np.stack(imgsA)), jnp.asarray(np.stack(imgsB)), matcher_cfg
         )
-        corres_b = np.asarray(res["corres"])
-        valid_b = np.asarray(res["valid"])
+        corres_b = np.asarray(res["corres"])[:n_real]
+        valid_b = np.asarray(res["valid"])[:n_real]
     else:
         corres_b, valid_b = matcher_fn(np.stack(imgsA), np.stack(imgsB))
+        corres_b, valid_b = corres_b[:n_real], valid_b[:n_real]
 
     rcfg = cfg["ransac"]
     params = ransac_ops.RansacParams(
@@ -221,8 +231,9 @@ def find_corres(
         gated.append(g)
 
     # Model-frame points for RANSAC (reference runRansacMultiPairGPU host
-    # glue transforms matches by the current poses).
-    P = len(pairs)
+    # glue transforms matches by the current poses).  Same power-of-2
+    # padding as the matcher batch (padded pairs are all-invalid).
+    P = n_pad
     M = store.max_matches
     ptsA = np.zeros((P, M, 3), np.float32)
     ptsB = np.zeros((P, M, 3), np.float32)

@@ -135,6 +135,64 @@ class Bundler:
                 if len(chosen) >= max_frames:
                     break
                 chosen[kf.id] = kf
+        elif method == "normal_orientation_greedy":
+            # Greedily add the keyframe with max cumulative covisibility to
+            # the chosen set (Bundler.cpp:529-554).
+            chosen[self.keyframes[0].id] = self.keyframes[0]
+            while len(chosen) < max_frames:
+                best, best_v = None, 0.0
+                for kf in self.keyframes:
+                    if kf.id in chosen:
+                        continue
+                    v = sum(self.covisibility(kf, f) for f in chosen.values())
+                    if v > best_v:
+                        best, best_v = kf, v
+                if best is None:
+                    break
+                chosen[best.id] = best
+        elif method == "greedy_covisible_points":
+            # Greedily add the keyframe sharing the most inlier feature
+            # matches with the anchor frames (Bundler.cpp:555-580; the
+            # reference counts covisible map points — our inlier-match
+            # counts are the equivalent signal in this design).
+            refs = [self.keyframes[0], nf]
+            while len(chosen) < max_frames:
+                best, best_n = None, 0
+                for kf in self.keyframes:
+                    if kf.id in chosen:
+                        continue
+                    n = sum(
+                        self.store.n_inliers((max(f.id, kf.id), min(f.id, kf.id)))
+                        for f in refs
+                    )
+                    if n > best_n:
+                        best, best_n = kf, n
+                if best is None:
+                    # no matched candidates left: fall back to covisibility
+                    rest = [k for k in self.keyframes if k.id not in chosen]
+                    if not rest:
+                        break
+                    best = max(rest, key=lambda k: self.covisibility(nf, k))
+                chosen[best.id] = best
+        elif method == "near_enough_rot":
+            # Chain from keyframe 0 to the new frame through rotation-near
+            # hops (Bundler.cpp:592-601 nearEnoughRotSearch, greedy variant
+            # of the reference's DFS).
+            max_rot = np.deg2rad(float(self.cfg["bundle"]["non_neighbor_max_rot"]))
+            chosen[self.keyframes[0].id] = self.keyframes[0]
+            cur = self.keyframes[0]
+            while len(chosen) < max_frames:
+                cands = [
+                    (float(se3.rotation_geodesic_distance_ignore_cam_z(
+                        jnp.asarray(cur.pose_in_model[:3, :3].T),
+                        jnp.asarray(kf.pose_in_model[:3, :3].T))), kf)
+                    for kf in self.keyframes if kf.id not in chosen
+                ]
+                cands = [(d, kf) for d, kf in cands if d <= max_rot]
+                if not cands:
+                    break
+                _, cur = min(cands, key=lambda x: x[0])
+                chosen[cur.id] = cur
         else:  # normal_orientation_nearest (default, config_ho3d.yml:39)
             vis = [(self.covisibility(nf, kf), kf) for kf in self.keyframes]
             for _, kf in sorted(vis, key=lambda x: -x[0]):

@@ -192,7 +192,8 @@ class Ho3dReader:
         depth = cv2.imread(
             self.color_files[i].replace(".jpg", ".png").replace("rgb", "depth"), -1
         )
-        return ((depth[..., 2] + depth[..., 1] * 256) * self.DEPTH_SCALE).astype(np.float32)
+        d = depth.astype(np.int32)
+        return ((d[..., 2] + d[..., 1] * 256) * self.DEPTH_SCALE).astype(np.float32)
 
     def get_gt_pose(self, i):
         meta_file = self.color_files[i].replace(".jpg", ".pkl").replace("rgb", "meta")

@@ -6,6 +6,7 @@ Parity with the reference run_custom.py (modes run_video / global_refine /
 draw_pose, :211-229; per-run config dumps :23-63).
 """
 import argparse
+import logging
 import os
 import sys
 
@@ -93,6 +94,7 @@ def draw_pose(video_dir, out_folder):
 
 
 if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="run_video",
                    choices=["run_video", "global_refine", "draw_pose"])

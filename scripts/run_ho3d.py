@@ -3,6 +3,7 @@
 (parity with reference run_ho3d.py:107-119: loops videos, skip-if-complete
 idempotency :24-28)."""
 import argparse
+import logging
 import glob
 import os
 import sys
@@ -47,6 +48,7 @@ def run_one_video(video_dir, out_folder, use_nof=True):
 
 
 if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     p = argparse.ArgumentParser()
     p.add_argument("--ho3d_dir", required=True, help="HO3D_v3 root")
     p.add_argument("--out_dir", required=True)

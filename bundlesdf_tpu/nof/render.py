@@ -183,3 +183,35 @@ def render_rays(
         "valid_samples": valid_samples,
         "weights": weights,
     }
+
+
+def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               det: bool = False, eps: float = 1e-5):
+    """Hierarchical importance sampling along rays (reference sample_pdf
+    nerf_helpers.py:324-354; used by the N_importance path of render_rays
+    nerf_runner.py:1100-1115 — off by default, config.yml:20).
+
+    bins: (N, B) z midpoints; weights: (N, B-1).  Returns (N, n_samples)
+    z values distributed ~ the weight pdf (inverse-transform sampling).
+    """
+    w = weights + eps
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (N, B)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
+    bin_a = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bin_b + t * (bin_a - bin_b)

@@ -109,6 +109,7 @@ class CorresStore:
         self.max_matches = int(cfg["feature_corres"]["max_matches_per_pair"])
         self.raw: dict[tuple, np.ndarray] = {}
         self.matches: dict[tuple, dict] = {}
+        self.tracks = FeatureTracks()
 
     def forget_frame(self, fid: int):
         """Erase all matches touching a frame (reference forgetFrame ->
@@ -116,6 +117,7 @@ class CorresStore:
         for table in (self.raw, self.matches):
             for k in [k for k in table if fid in k]:
                 del table[k]
+        self.tracks.forget_frame(fid)
 
     def n_inliers(self, key: tuple) -> int:
         m = self.matches.get(key)
@@ -263,6 +265,8 @@ def find_corres(
         g = gated[i]
         g["inlier"] = inliers[i] & g["valid"]
         store.matches[(fa.id, fb.id)] = g
+        # merge inliers into multi-frame feature tracks (map points)
+        store.tracks.add_matches(fa.id, fb.id, g["uvA"], g["uvB"], g["inlier"])
 
 
 def procrustes_offset(store: CorresStore, fa: Frame, fb: Frame) -> np.ndarray:
@@ -278,3 +282,79 @@ def procrustes_offset(store: CorresStore, fa: Frame, fb: Frame) -> np.ndarray:
         jnp.asarray(src), jnp.asarray(dst), jnp.asarray(m["inlier"], dtype=jnp.float32)
     )
     return np.asarray(T)
+
+
+# ----------------------------------------------------------- map points
+class FeatureTracks:
+    """Multi-frame feature tracks (the reference MapPoint table,
+    FeatureManager.h:49-66, `_map_points`): inlier correspondences merge
+    into tracks via union-find over quantized (frame, u, v) keypoints.
+
+    Used for covisible-point counting in BA subset selection
+    (getCovisibleMapPoints, Bundler.cpp:555-580) and match propagation:
+    two frames that both match a third share a track -> candidate
+    correspondence without re-running the matcher.
+    """
+
+    def __init__(self, quant: int = 2):
+        self.quant = quant
+        self._parent: dict[tuple, tuple] = {}
+        # per ordered frame pair: observation key lists (for propagation)
+        self._frame_keys: dict[int, set] = {}
+
+    def _key(self, fid: int, u: float, v: float) -> tuple:
+        q = self.quant
+        return (fid, int(round(u / q)), int(round(v / q)))
+
+    def _find(self, k):
+        p = self._parent.setdefault(k, k)
+        while p != self._parent[p]:
+            self._parent[p] = self._parent[self._parent[p]]
+            p = self._parent[p]
+        self._parent[k] = p
+        return p
+
+    def _union(self, a, b):
+        ra, rb = self._find(a), self._find(b)
+        if ra != rb:
+            self._parent[rb] = ra
+
+    def add_matches(self, fa_id: int, fb_id: int, uvA: np.ndarray,
+                    uvB: np.ndarray, inlier: np.ndarray):
+        for i in np.nonzero(inlier)[0]:
+            ka = self._key(fa_id, uvA[i, 0], uvA[i, 1])
+            kb = self._key(fb_id, uvB[i, 0], uvB[i, 1])
+            self._union(ka, kb)
+            self._frame_keys.setdefault(fa_id, set()).add(ka)
+            self._frame_keys.setdefault(fb_id, set()).add(kb)
+
+    def forget_frame(self, fid: int):
+        self._frame_keys.pop(fid, None)
+        # lazily keep union-find entries; stale roots are harmless
+
+    def n_covisible(self, fa_id: int, fb_id: int) -> int:
+        """Number of shared tracks between two frames."""
+        ka = self._frame_keys.get(fa_id, ())
+        kb = self._frame_keys.get(fb_id, ())
+        if not ka or not kb:
+            return 0
+        roots_b = {self._find(k) for k in kb}
+        return sum(1 for k in ka if self._find(k) in roots_b)
+
+    def propagate(self, fa_id: int, fb_id: int):
+        """Candidate (uvA, uvB) pixel pairs linked through shared tracks."""
+        ka = self._frame_keys.get(fa_id, ())
+        kb = self._frame_keys.get(fb_id, ())
+        if not ka or not kb:
+            return np.zeros((0, 2)), np.zeros((0, 2))
+        by_root: dict[tuple, tuple] = {}
+        for k in kb:
+            by_root.setdefault(self._find(k), k)
+        uvA, uvB = [], []
+        q = self.quant
+        for k in ka:
+            other = by_root.get(self._find(k))
+            if other is not None:
+                uvA.append((k[1] * q, k[2] * q))
+                uvB.append((other[1] * q, other[2] * q))
+        return np.asarray(uvA, np.float64), np.asarray(uvB, np.float64)

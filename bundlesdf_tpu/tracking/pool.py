@@ -162,7 +162,8 @@ class Bundler:
                     if kf.id in chosen:
                         continue
                     n = sum(
-                        self.store.n_inliers((max(f.id, kf.id), min(f.id, kf.id)))
+                        self.store.tracks.n_covisible(f.id, kf.id)
+                        + self.store.n_inliers((max(f.id, kf.id), min(f.id, kf.id)))
                         for f in refs
                     )
                     if n > best_n:

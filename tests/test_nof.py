@@ -196,3 +196,19 @@ def test_pick_microbatch():
     assert mb * 320 * 16 <= 2 * 1024 * 1024
     # explicit override wins
     assert _pick_microbatch(2048, 320, 16, override=128) == 128
+
+
+def test_sample_pdf_concentrates_on_high_weight_bins():
+    key = jax.random.PRNGKey(0)
+    bins = jnp.linspace(0.0, 1.0, 11)[None].repeat(4, 0)  # (4, 11)
+    w = np.full((4, 10), 1e-4, np.float32)
+    w[:, 7] = 1.0  # all mass in bin [0.7, 0.8]
+    z = nof_render.sample_pdf(key, bins, jnp.asarray(w), 64)
+    z = np.asarray(z)
+    assert z.shape == (4, 64)
+    frac = ((z > 0.65) & (z < 0.85)).mean()
+    assert frac > 0.9
+    # deterministic mode is sorted and reproducible
+    z1 = np.asarray(nof_render.sample_pdf(key, bins, jnp.asarray(w), 16, det=True))
+    z2 = np.asarray(nof_render.sample_pdf(key, bins, jnp.asarray(w), 16, det=True))
+    np.testing.assert_allclose(z1, z2)

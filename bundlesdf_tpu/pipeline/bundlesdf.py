@@ -49,8 +49,14 @@ class BundleSdf:
         start_nerf_keyframes: int = 5,
         use_nof: bool = True,
         save_artifacts: bool = False,
+        use_gui: bool = False,
     ):
         self.save_artifacts = save_artifacts
+        self.gui = None
+        if use_gui:
+            from ..viz.gui import Dashboard
+
+            self.gui = Dashboard(out_dir)
         self.cfg_track = cfg_track or default_track_config()
         self.cfg_nof = cfg_nof or default_nof_config()
         self.out_dir = out_dir
@@ -104,6 +110,12 @@ class BundleSdf:
                     self._apply_nof_feedback()
 
         self.poses_log[id_str] = np.linalg.inv(frame.pose_in_model)  # ob_in_cam
+        if self.gui is not None:
+            self.gui.update(
+                np.asarray(frame.color), np.asarray(frame.fg_mask),
+                np.linalg.inv(frame.pose_in_model), self.K, id_str,
+                mesh=self.mesh, n_keyframes=len(self.bundler.keyframes),
+            )
         if self.save_artifacts:
             from .artifacts import save_newframe_result
 

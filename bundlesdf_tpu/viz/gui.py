@@ -26,6 +26,11 @@ class Dashboard:
         self.cnt += 1
         if self.cnt % self.every:
             return
+        color = np.asarray(color)
+        if color.dtype != np.uint8:
+            color = np.clip(
+                color * (255.0 if color.max() <= 1.5 else 1.0), 0, 255
+            ).astype(np.uint8)
         H, W = color.shape[:2]
         row1 = draw_xyz_axis(color, ob_in_cam, K, scale=0.05)
         masked = color.copy()

@@ -22,7 +22,7 @@ from bundlesdf_tpu.pipeline.artifacts import load_tracked_frames
 
 
 def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
-                  stride=1, debug_level=1, shorter_side=480):
+                  stride=1, debug_level=1, shorter_side=480, use_gui=False):
     os.makedirs(out_folder, exist_ok=True)
     cfg_track = default_track_config()
     cfg_track["SPDLOG"] = debug_level
@@ -37,7 +37,7 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
     reader = YcbineoatReader(video_dir=video_dir, shorter_side=shorter_side)
     tracker = BundleSdf(
         cfg_track=cfg_track, cfg_nof=cfg_nof, out_dir=out_folder,
-        use_nof=use_nof, save_artifacts=True,
+        use_nof=use_nof, save_artifacts=True, use_gui=use_gui,
     )
     for i in range(0, len(reader.color_files), stride):
         color = reader.get_color(i)
@@ -104,11 +104,12 @@ if __name__ == "__main__":
     p.add_argument("--no_nerf", action="store_true")
     p.add_argument("--debug_level", type=int, default=1)
     p.add_argument("--shorter_side", type=int, default=480)
+    p.add_argument("--use_gui", action="store_true")
     args = p.parse_args()
     if args.mode == "run_video":
         run_one_video(args.video_dir, args.out_folder, use_nof=not args.no_nerf,
                       stride=args.stride, debug_level=args.debug_level,
-                      shorter_side=args.shorter_side)
+                      shorter_side=args.shorter_side, use_gui=args.use_gui)
     elif args.mode == "global_refine":
         run_one_video_global_nerf(args.out_folder)
     else:

@@ -83,10 +83,8 @@ def fuse_frame_cloud(depth: np.ndarray, rgb: np.ndarray, mask: np.ndarray,
                      K: np.ndarray, glcam_in_world: np.ndarray):
     """Masked back-projection of one frame into world (reference
     compute_scene_bounds_worker tool.py:42-64)."""
-    import jax.numpy as jnp
-
-    xyz = np.asarray(geometry.depth_to_xyz(jnp.asarray(depth, dtype=jnp.float32),
-                                           jnp.asarray(K, dtype=jnp.float32)))
+    xyz = geometry.depth_to_xyz_np(np.asarray(depth, np.float32),
+                                   np.asarray(K, np.float32))
     valid = (depth >= 0.1) & (mask > 0)
     pts = xyz[valid]
     if len(pts) == 0:

@@ -363,11 +363,18 @@ class NofRunner:
 
     # ------------------------------------------------------------------
     def _build_frame_rays(self, fid: int) -> np.ndarray:
-        """Parity with make_frame_rays (nerf_runner.py:244-314)."""
+        """Parity with make_frame_rays (nerf_runner.py:244-314).
+
+        Host-side numpy throughout (camera rays / ray-box); the occupancy
+        cull is deferred to _build_all_rays as ONE batched device call —
+        per-frame device round trips dominate wall clock on a tunneled
+        TPU (d2h ~20 MB/s)."""
         cfg = self.cfg
         H, W = self.H, self.W
         sc = float(cfg["sc_factor"])
-        dirs = np.asarray(geometry.camera_rays_gl(H, W, jnp.asarray(self.K)))
+        if not hasattr(self, "_dirs_cache"):
+            self._dirs_cache = geometry.camera_rays_gl_np(H, W, self.K)
+        dirs = self._dirs_cache
         rgb = self.images[fid]
         depth = self.depths[fid]
         mask = (self.masks[fid] > 0).astype(np.uint8)
@@ -404,37 +411,58 @@ class NofRunner:
         if len(rays) == 0:
             return rays
 
-        # near/far from ray/AABB in world; cull rays that miss occupancy.
+        # near/far from ray/AABB in world (host numpy); ray-miss cull by
+        # box hit here, occupancy cull batched later.
         pose = self.c2w_np[fid]
         d_cam = rays[:, nof_render.RAY_DIR]
         d_unit = d_cam / np.linalg.norm(d_cam, axis=-1, keepdims=True)
         d_w = d_unit @ pose[:3, :3].T
         o_w = np.broadcast_to(pose[:3, 3], d_w.shape)
-        tmin, tmax = geometry.ray_box_intersection(
-            jnp.asarray(o_w), jnp.asarray(d_w),
-            jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]),
+        tmin, tmax = geometry.ray_box_intersection_np(
+            o_w, d_w, np.array([-1.0, -1.0, -1.0]), np.array([1.0, 1.0, 1.0]),
         )
-        tmin = np.asarray(tmin)
-        tmax = np.asarray(tmax)
-        hit_box = tmin >= 0
-        occ_hit = np.asarray(
-            occ_ops.sample_rays_in_occupied_space(
-                jax.random.PRNGKey(0), self.occ_grid, jnp.asarray(o_w), jnp.asarray(d_w),
-                n_march=self.rcfg.n_march, n_samples=1, perturb=False,
-            )[1]
-        )
-        keep = hit_box & occ_hit
+        keep = tmin >= 0
         rays = rays[keep]
         rays[:, nof_render.RAY_NEAR] = tmin[keep]
         rays[:, nof_render.RAY_FAR] = tmax[keep]
         return rays
+
+    def _cull_rays_by_occupancy(self, rays: np.ndarray) -> np.ndarray:
+        """ONE batched device pass: drop rays whose [-1,1]^3 span never
+        touches occupied space (reference octree ray culling at build,
+        nerf_runner.py:300-313).  Chunked to a fixed shape; only a packed
+        bool per ray returns to host."""
+        if len(rays) == 0:
+            return rays
+        out = np.zeros(len(rays), dtype=bool)
+        CH = 1 << 17
+        for s in range(0, len(rays), CH):
+            chunk = rays[s : s + CH]
+            n = len(chunk)
+            d_cam = chunk[:, nof_render.RAY_DIR]
+            fids = chunk[:, nof_render.RAY_FRAME_ID].astype(np.int32)
+            pose = self.c2w_np[fids]
+            d_unit = d_cam / np.linalg.norm(d_cam, axis=-1, keepdims=True)
+            d_w = np.einsum("nab,nb->na", pose[:, :3, :3], d_unit)
+            o_w = pose[:, :3, 3]
+            if n < CH:  # pad tail to the compiled shape
+                d_w = np.concatenate([d_w, np.tile(d_w[-1:], (CH - n, 1))])
+                o_w = np.concatenate([o_w, np.tile(o_w[-1:], (CH - n, 1))])
+            hit = occ_ops.sample_rays_in_occupied_space(
+                jax.random.PRNGKey(0), self.occ_grid,
+                jnp.asarray(o_w, dtype=jnp.float32),
+                jnp.asarray(d_w, dtype=jnp.float32),
+                n_march=self.rcfg.n_march, n_samples=1, perturb=False,
+            )[1]
+            out[s : s + CH] = np.asarray(hit)[:n]
+        return rays[out]
 
     def _build_all_rays(self, frame_ids) -> np.ndarray:
         chunks = [self._build_frame_rays(f) for f in frame_ids]
         chunks = [c for c in chunks if len(c)]
         if not chunks:
             return np.zeros((0, nof_render.RAY_DIM), dtype=np.float32)
-        return np.concatenate(chunks, axis=0)
+        return self._cull_rays_by_occupancy(np.concatenate(chunks, axis=0))
 
     def _upload_rays(self):
         n = len(self.rays_np)

@@ -48,11 +48,12 @@ def in_plane_rotation(fa: Frame, fb: Frame) -> float:
     """Signed in-plane (camera-z) component of the relative rotation that
     maps B's camera orientation onto A's (reference
     FeatureManager.cpp:140-147)."""
+    from scipy.spatial.transform import Rotation
+
     RA = fa.pose_in_model[:3, :3].T  # model -> camA
     RB = fb.pose_in_model[:3, :3].T
     R_BA = RA @ np.linalg.inv(RB)
-    w = np.asarray(se3.so3_log(jnp.asarray(R_BA[None], dtype=jnp.float32)))[0]
-    return float(w[2])
+    return float(Rotation.from_matrix(R_BA).as_rotvec()[2])
 
 
 def process_image_pair(fa: Frame, fb: Frame, out_size: int):

@@ -56,9 +56,13 @@ class Frame:
         self.occ_mask = None if occ_mask is None else np.asarray(occ_mask) > 0
 
         dp = cfg["depth_processing"]
-        d, xyz, normals, valid = image_ops.process_depth_frame(
-            jnp.asarray(depth, dtype=jnp.float32),
-            jnp.asarray(self.K),
+        # Host numpy pipeline (bit-parity twin of the jitted
+        # process_depth_frame): keeps the per-frame image prep off the
+        # accelerator — on a tunneled TPU the d2h readback of these maps
+        # dwarfs the stencil math, and on real hardware host prep overlaps
+        # device NOF training.
+        d, xyz, normals, valid = image_ops.process_depth_frame_np(
+            depth, self.K,
             zfar=float(dp["zfar"]),
             erode_radius=int(dp["erode"]["radius"]),
             erode_diff=float(dp["erode"]["diff"]),
@@ -68,11 +72,12 @@ class Frame:
             sigma_r=float(dp["bilateral_filter"]["sigma_R"]),
             edge_normal_thres_deg=float(dp["edge_normal_thres"]),
         )
-        self.depth = np.asarray(d)
-        self.xyz = np.asarray(xyz)
-        self.normals = np.asarray(normals)
-        self.valid = np.asarray(valid)
-        self.gray = np.asarray(image_ops.rgb_to_gray(jnp.asarray(self.color)))
+        self.depth = d
+        self.xyz = xyz
+        self.normals = normals
+        self.valid = valid
+        c = np.asarray(self.color, dtype=np.float32)
+        self.gray = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
         self.invalidate_pixels_by_mask(self.fg_mask)
         if self.occ_mask is not None:
             self.invalidate_pixels_by_mask(~self.occ_mask)

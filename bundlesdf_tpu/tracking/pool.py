@@ -77,11 +77,8 @@ class Bundler:
             return False
         min_rot = np.deg2rad(float(kf_cfg["min_rot"]))
         for kf in self.keyframes:
-            rot_diff = float(
-                se3.rotation_geodesic_distance_ignore_cam_z(
-                    jnp.asarray(frame.pose_in_model[:3, :3].T),
-                    jnp.asarray(kf.pose_in_model[:3, :3].T),
-                )
+            rot_diff = se3.rotation_geodesic_distance_ignore_cam_z_np(
+                frame.pose_in_model[:3, :3].T, kf.pose_in_model[:3, :3].T
             )
             if rot_diff < min_rot:
                 return False
@@ -114,10 +111,9 @@ class Bundler:
                     if kf.id in chosen:
                         continue
                     cum = sum(
-                        float(se3.rotation_geodesic_distance_ignore_cam_z(
-                            jnp.asarray(kf.pose_in_model[:3, :3].T),
-                            jnp.asarray(f.pose_in_model[:3, :3].T),
-                        ))
+                        se3.rotation_geodesic_distance_ignore_cam_z_np(
+                            kf.pose_in_model[:3, :3].T, f.pose_in_model[:3, :3].T
+                        )
                         for f in chosen.values()
                     )
                     if cum < best_d:
@@ -125,10 +121,9 @@ class Bundler:
                 chosen[best.id] = best
         elif method == "nearest_rotations":
             dists = [
-                (float(se3.rotation_geodesic_distance_ignore_cam_z(
-                    jnp.asarray(nf.pose_in_model[:3, :3].T),
-                    jnp.asarray(kf.pose_in_model[:3, :3].T),
-                )), kf)
+                (se3.rotation_geodesic_distance_ignore_cam_z_np(
+                    nf.pose_in_model[:3, :3].T, kf.pose_in_model[:3, :3].T
+                ), kf)
                 for kf in self.keyframes
             ]
             for _, kf in sorted(dists, key=lambda x: x[0]):
@@ -184,9 +179,9 @@ class Bundler:
             cur = self.keyframes[0]
             while len(chosen) < max_frames:
                 cands = [
-                    (float(se3.rotation_geodesic_distance_ignore_cam_z(
-                        jnp.asarray(cur.pose_in_model[:3, :3].T),
-                        jnp.asarray(kf.pose_in_model[:3, :3].T))), kf)
+                    (se3.rotation_geodesic_distance_ignore_cam_z_np(
+                        cur.pose_in_model[:3, :3].T, kf.pose_in_model[:3, :3].T
+                    ), kf)
                     for kf in self.keyframes if kf.id not in chosen
                 ]
                 cands = [(d, kf) for d, kf in cands if d <= max_rot]
@@ -232,7 +227,7 @@ class Bundler:
                 d = f.depth[::factor, ::factor]
                 K_ds = f.K.copy()
                 K_ds[:2] /= factor
-                xyz = np.asarray(geometry.depth_to_xyz(jnp.asarray(d), jnp.asarray(K_ds)))
+                xyz = geometry.depth_to_xyz_np(d.astype(np.float32), K_ds)
                 nrm = f.normals[::factor, ::factor]
                 ok = (d > 0.1) & (np.linalg.norm(nrm, axis=-1) > 0.5)
                 f._ds_cache = (factor, xyz, nrm, ok, K_ds)
@@ -342,9 +337,9 @@ class Bundler:
             inv_new = np.linalg.inv(new_pose)
             inv_ref = np.linalg.inv(ref.pose_in_model)
             trans_diff = np.linalg.norm(inv_new[:3, 3] - inv_ref[:3, 3])
-            rot_diff = float(se3.rotation_geodesic_distance(
-                jnp.asarray(inv_new[:3, :3]), jnp.asarray(inv_ref[:3, :3])
-            ))
+            rot_diff = se3.rotation_geodesic_distance_np(
+                inv_new[:3, :3], inv_ref[:3, :3]
+            )
             if trans_diff > float(rcfg["max_trans_neighbor"]) or rot_diff > np.deg2rad(
                 float(rcfg["max_rot_deg_neighbor"])
             ):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-10
 
@@ -185,3 +186,38 @@ def dilate_mask(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
         m, 0.0, jax.lax.max, (k, k), (1, 1), "SAME"
     )
     return window > 0.5
+
+
+# ------------------------------------------------------------ numpy twins
+# Host-side numpy versions of the cheap pixel-math helpers.  On a tunneled
+# TPU, device->host readback is orders of magnitude slower than the math
+# itself, so per-frame host code (ray building, scene bounds) uses these
+# instead of a device round trip.  Numerics match the jitted versions.
+def camera_rays_gl_np(H: int, W: int, K: np.ndarray) -> np.ndarray:
+    v, u = np.mgrid[0:H, 0:W].astype(np.float32)
+    return np.stack(
+        [(u - K[0, 2]) / K[0, 0], -(v - K[1, 2]) / K[1, 1],
+         -np.ones((H, W), np.float32)], axis=-1,
+    )
+
+
+def depth_to_xyz_np(depth: np.ndarray, K: np.ndarray) -> np.ndarray:
+    H, W = depth.shape
+    v, u = np.mgrid[0:H, 0:W].astype(np.float32)
+    x = (u - K[0, 2]) / K[0, 0] * depth
+    y = (v - K[1, 2]) / K[1, 1] * depth
+    xyz = np.stack([x, y, depth], axis=-1)
+    return np.where(depth[..., None] > 0.0, xyz, 0.0)
+
+
+def ray_box_intersection_np(origins, dirs, box_min, box_max, eps=1e-10):
+    d = dirs / (np.linalg.norm(dirs, axis=-1, keepdims=True) + eps)
+    inv_d = 1.0 / np.where(np.abs(d) < eps, np.where(d < 0, -eps, eps), d)
+    t0 = (box_min[None] - origins) * inv_d
+    t1 = (box_max[None] - origins) * inv_d
+    t_near = np.maximum(np.minimum(t0, t1), 0.0)
+    t_far = np.maximum(t0, t1)
+    tmin = t_near.max(axis=-1)
+    tmax = t_far.min(axis=-1)
+    hit = tmin <= tmax
+    return np.where(hit, tmin, -1.0), np.where(hit, tmax, -1.0)

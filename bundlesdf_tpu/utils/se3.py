@@ -250,3 +250,33 @@ def normalize_rotation(T: jnp.ndarray) -> jnp.ndarray:
     D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
     Rn = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt)
     return pack_pose(Rn, T[..., :3, 3])
+
+
+# ------------------------------------------------------------ numpy twins
+# Scalar pose-bookkeeping math runs on host: each jitted call on a tunneled
+# TPU costs an RTT that dwarfs the 3x3 arithmetic (used in per-keyframe
+# loops: admission, BA subset selection, sanity gates).
+def rotation_geodesic_distance_np(R1, R2) -> float:
+    import numpy as np
+
+    tmp = (np.trace(R1 @ R2.T) - 1.0) * 0.5
+    return float(np.arccos(np.clip(tmp, -1.0, 1.0)))
+
+
+def rotation_geodesic_distance_ignore_cam_z_np(R1, R2) -> float:
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    R_ab = np.asarray(R2) @ np.asarray(R1).T
+    w = Rotation.from_matrix(R_ab).as_rotvec()
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        return 0.0
+    axis = w / theta
+    axis[2] = 0.0
+    n = np.linalg.norm(axis)
+    if n < 1e-12:
+        return 0.0
+    axis = axis / n
+    R_out = Rotation.from_rotvec(axis * theta).as_matrix()
+    return rotation_geodesic_distance_np(R_out, np.eye(3))

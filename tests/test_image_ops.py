@@ -67,3 +67,22 @@ def test_rgb_to_gray():
     rgb[..., 1] = 255
     g = np.array(im_ops.rgb_to_gray(jnp.array(rgb)))
     np.testing.assert_allclose(g, 0.587 * 255, rtol=1e-5)
+
+
+def test_process_depth_frame_np_matches_jit():
+    import numpy as np
+    import jax.numpy as jnp
+    from bundlesdf_tpu.ops import image as image_ops
+
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(0.3, 0.9, (32, 40)).astype(np.float32)
+    depth[rng.random((32, 40)) < 0.1] = 0.0
+    K = np.array([[40.0, 0, 20], [0, 40.0, 16], [0, 0, 1]], np.float32)
+    d_j, x_j, n_j, v_j = image_ops.process_depth_frame(
+        jnp.asarray(depth), jnp.asarray(K), zfar=1.0,
+    )
+    d_n, x_n, n_n, v_n = image_ops.process_depth_frame_np(depth, K, zfar=1.0)
+    np.testing.assert_allclose(np.asarray(d_j), d_n, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_j), x_n, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n_j), n_n, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(v_j), v_n)

@@ -117,3 +117,22 @@ def test_transform_points():
     out = np.array(se3.transform_points(jnp.array(T), jnp.array(pts)))
     ref = pts @ T[:3, :3].T + T[:3, 3]
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_geodesic_numpy_twins_match_jit():
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+    from bundlesdf_tpu.utils import se3
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        R1 = Rotation.random(random_state=rng).as_matrix()
+        R2 = Rotation.random(random_state=rng).as_matrix()
+        a = float(se3.rotation_geodesic_distance(jnp.asarray(R1), jnp.asarray(R2)))
+        b = se3.rotation_geodesic_distance_np(R1, R2)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        c = float(se3.rotation_geodesic_distance_ignore_cam_z(
+            jnp.asarray(R1, dtype=jnp.float32), jnp.asarray(R2, dtype=jnp.float32)))
+        d = se3.rotation_geodesic_distance_ignore_cam_z_np(R1, R2)
+        np.testing.assert_allclose(c, d, atol=1e-4)

@@ -279,10 +279,19 @@ def procrustes_offset(store: CorresStore, fa: Frame, fb: Frame) -> np.ndarray:
     Ta, Tb = fa.pose_in_model, fb.pose_in_model
     src = m["pA"] @ Ta[:3, :3].T + Ta[:3, 3]
     dst = m["pB"] @ Tb[:3, :3].T + Tb[:3, 3]
-    T = se3.kabsch(
-        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(m["inlier"], dtype=jnp.float32)
-    )
-    return np.asarray(T)
+    # Host SVD: <=512 points — a device RTT would dominate the solve.
+    w = m["inlier"].astype(np.float64)
+    wsum = w.sum()
+    mu_s = (src * w[:, None]).sum(0) / wsum
+    mu_d = (dst * w[:, None]).sum(0) / wsum
+    S = ((dst - mu_d) * w[:, None]).T @ (src - mu_s)
+    U, _, Vt = np.linalg.svd(S)
+    d = np.sign(np.linalg.det(U @ Vt))
+    R = U @ np.diag([1.0, 1.0, d]) @ Vt
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = mu_d - R @ mu_s
+    return T
 
 
 # ----------------------------------------------------------- map points

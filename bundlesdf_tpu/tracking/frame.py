@@ -143,14 +143,21 @@ class Frame:
 
 
 def compute_covisibility(fa: Frame, fb: Frame, visible_angle_deg: float = 70.0) -> float:
-    """Covisibility between two frames (reference Frame.h:122-190)."""
-    return float(
-        geometry.compute_covisibility(
-            jnp.asarray(fa.xyz),
-            jnp.asarray(fa.normals),
-            jnp.asarray(fa.valid & fa.fg_mask),
-            jnp.asarray(fa.pose_in_model),
-            jnp.asarray(fb.pose_in_model),
-            visible_angle_deg,
-        )
-    )
+    """Covisibility between two frames (reference Frame.h:122-190).
+
+    Host numpy (stride 2 like the reference CPU path): called in
+    per-keyframe loops where a device RTT per pair would dominate."""
+    pts = fa.xyz[::2, ::2].reshape(-1, 3)
+    nrm = fa.normals[::2, ::2].reshape(-1, 3)
+    msk = (fa.valid & fa.fg_mask)[::2, ::2].reshape(-1)
+    R_b = fb.pose_in_model[:3, :3]
+    rel_R = R_b.T @ fa.pose_in_model[:3, :3]
+    rel_t = R_b.T @ (fa.pose_in_model[:3, 3] - fb.pose_in_model[:3, 3])
+    p_b = pts @ rel_R.T + rel_t
+    n_b = nrm @ rel_R.T
+    to_eye = -p_b / (np.linalg.norm(p_b, axis=-1, keepdims=True) + 1e-10)
+    n_b = n_b / (np.linalg.norm(n_b, axis=-1, keepdims=True) + 1e-10)
+    dots = (to_eye * n_b).sum(-1)
+    thres = np.cos(np.deg2rad(visible_angle_deg))
+    total = msk.sum()
+    return float(((dots > thres) & msk).sum() / (total + 1e-7))

@@ -139,6 +139,54 @@ def default_track_config() -> Cfg:
     )
 
 
+def ycbineoat_track_config() -> Cfg:
+    """YCBInEOAT tracker variant (reference config_ycbineoat.yml diff vs ho3d):
+    deeper z range, looser match/RANSAC gates for neighbors but tight
+    non-neighbor caps (robot-arm manipulation has smooth motion between
+    non-neighbors too)."""
+    return default_track_config().merged(
+        {
+            "depth_processing": {"zfar": 2.0, "outlier_removal": {"std_mul": 1.0},
+                                 "percentile": 100},
+            "bundle": {"non_neighbor_max_rot": 180.0, "icp_pose_rot_thres": 180.0},
+            "feature_corres": {
+                "max_dist_neighbor": 0.03,
+                "max_normal_neighbor": 45.0,
+                "max_dist_no_neighbor": 0.02,
+                "max_normal_no_neighbor": 45.0,
+            },
+            "ransac": {
+                "inlier_dist": 0.015,
+                "inlier_normal_angle": 45.0,
+                "max_trans_neighbor": 0.03,
+                "max_trans_no_neighbor": 0.02,
+                "max_rot_no_neighbor": 10.0,
+            },
+            "p2p": {"max_dist": 0.02, "max_normal_angle": 45.0},
+        }
+    )
+
+
+def behave_track_config() -> Cfg:
+    """BEHAVE tracker variant (reference config_behave.yml diff vs ho3d):
+    human-scale scenes — 3x image downscale, far plane 3.5 m, much looser
+    distance gates (larger objects, coarser depth)."""
+    return default_track_config().merged(
+        {
+            "downscale": 3,
+            "depth_processing": {"zfar": 3.5},
+            "bundle": {"max_optimized_feature_loss": 0.05},
+            "feature_corres": {"max_dist_neighbor": 0.1, "min_match_with_ref": 15},
+            "ransac": {
+                "inlier_dist": 0.01,
+                "inlier_normal_angle": 20.0,
+                "max_trans_neighbor": 0.1,
+            },
+            "p2p": {"max_dist": 0.02, "max_normal_angle": 45.0},
+        }
+    )
+
+
 def default_nof_config() -> Cfg:
     """Neural-object-field config defaults (reference config.yml:1-103)."""
     return Cfg.wrap(

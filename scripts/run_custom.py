@@ -15,18 +15,28 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bundlesdf_tpu.config import default_nof_config, default_track_config
+from bundlesdf_tpu.config import (behave_track_config, default_nof_config,
+                                  default_track_config, ycbineoat_track_config)
+
+TRACK_CONFIGS = {
+    "custom": default_track_config,
+    "ho3d": default_track_config,
+    "ycbineoat": ycbineoat_track_config,
+    "behave": behave_track_config,
+}
 from bundlesdf_tpu.io.readers import YcbineoatReader
 from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
 from bundlesdf_tpu.pipeline.artifacts import load_tracked_frames
 
 
 def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
-                  stride=1, debug_level=1, shorter_side=480, use_gui=False):
+                  stride=1, debug_level=1, shorter_side=480, use_gui=False,
+                  dataset="custom"):
     os.makedirs(out_folder, exist_ok=True)
-    cfg_track = default_track_config()
+    cfg_track = TRACK_CONFIGS[dataset]()
     cfg_track["SPDLOG"] = debug_level
-    cfg_track["depth_processing"]["zfar"] = 1.0
+    if dataset == "custom":
+        cfg_track["depth_processing"]["zfar"] = 1.0
     cfg_track["debug_dir"] = out_folder
     cfg_nof = default_nof_config()
     cfg_nof["save_dir"] = out_folder
@@ -52,6 +62,10 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
     mesh = tracker.on_finish()
     if mesh is not None:
         mesh.export(f"{out_folder}/mesh_online.obj")
+    if debug_level >= 1:
+        from bundlesdf_tpu.utils.profiler import report
+
+        print(report(min_total=0.01))
     print(f"done: {len(tracker.poses_log)} frames -> {out_folder}/ob_in_cam")
 
 
@@ -105,11 +119,20 @@ if __name__ == "__main__":
     p.add_argument("--debug_level", type=int, default=1)
     p.add_argument("--shorter_side", type=int, default=480)
     p.add_argument("--use_gui", action="store_true")
+    p.add_argument("--dataset", default="custom", choices=sorted(TRACK_CONFIGS))
+    p.add_argument("--log_compiles", action="store_true",
+                   help="log every XLA compilation (compile time dominates "
+                        "first-run wall clock; use to hunt shape churn)")
     args = p.parse_args()
+    if args.log_compiles:
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
     if args.mode == "run_video":
         run_one_video(args.video_dir, args.out_folder, use_nof=not args.no_nerf,
                       stride=args.stride, debug_level=args.debug_level,
-                      shorter_side=args.shorter_side, use_gui=args.use_gui)
+                      shorter_side=args.shorter_side, use_gui=args.use_gui,
+                      dataset=args.dataset)
     elif args.mode == "global_refine":
         run_one_video_global_nerf(args.out_folder)
     else:

@@ -90,3 +90,22 @@ def test_joint_loop_with_nof_smoke():
     model_pts = cube_model_points(data["half"])
     res = metrics.trajectory_add_auc(preds, gts, model_pts, max_val=0.1)
     assert res["mean_add"] < 0.03, res
+
+
+def test_dataset_config_variants():
+    """Per-dataset tracker variants (reference config_{ycbineoat,behave}.yml)."""
+    from bundlesdf_tpu.config import (behave_track_config, default_track_config,
+                                      ycbineoat_track_config)
+
+    ho3d = default_track_config()
+    ycb = ycbineoat_track_config()
+    beh = behave_track_config()
+    assert ycb["depth_processing"]["zfar"] == 2.0
+    assert ycb["ransac"]["inlier_dist"] == 0.015
+    assert ycb["bundle"]["non_neighbor_max_rot"] == 180.0
+    assert beh["depth_processing"]["zfar"] == 3.5
+    assert beh["downscale"] == 3
+    assert beh["feature_corres"]["min_match_with_ref"] == 15
+    # variants only override — shared keys stay at ho3d defaults
+    assert ycb["bundle"]["max_BA_frames"] == ho3d["bundle"]["max_BA_frames"]
+    assert beh["keyframe"]["min_rot"] == ho3d["keyframe"]["min_rot"]

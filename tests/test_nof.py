@@ -212,3 +212,35 @@ def test_sample_pdf_concentrates_on_high_weight_bins():
     z1 = np.asarray(nof_render.sample_pdf(key, bins, jnp.asarray(w), 16, det=True))
     z2 = np.asarray(nof_render.sample_pdf(key, bins, jnp.asarray(w), 16, det=True))
     np.testing.assert_allclose(z1, z2)
+
+
+def test_train_ba_recovers_perturbed_pose():
+    """train_ba (reference train_BA nerf_runner.py:932-975): a duplicated
+    view whose c2w is perturbed must be pulled back by the PoseArray."""
+    data = make_sphere_dataset(n_views=2, H=32, W=32)
+    cfg = tiny_cfg()
+    images = np.stack([data["images"][0]] * 2)
+    depths = np.stack([data["depths"][0]] * 2)
+    masks = np.stack([data["masks"][0]] * 2)
+    poses = np.stack([data["poses"][0]] * 2)
+    runner = NofRunner(cfg, images, depths, masks, poses, data["K"], data["cloud"])
+
+    # perturb frame 1's camera pose: small rotation about z + translation
+    th = np.deg2rad(3.0)
+    dT = np.eye(4, dtype=np.float32)
+    dT[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    dT[:3, 3] = [0.01, -0.008, 0.005]
+    runner.c2w_np[1] = dT @ runner.c2w_np[1]
+
+    vs, us = np.where((masks[0] > 0) & (depths[0] > 0.1) & (depths[0] < 2.0))
+    sel = np.random.default_rng(0).choice(len(vs), size=min(256, len(vs)), replace=False)
+    m = np.stack([us[sel], vs[sel], us[sel], vs[sel]], axis=-1).astype(np.float32)
+
+    hist = runner.train_ba({(0, 1): m}, n_steps=150, lr=5e-3)
+    assert len(hist) == 150
+    assert hist[-1] < 0.5 * hist[0]
+    # frame 0 stays pinned, frame 1 got a non-trivial correction
+    T = np.asarray(nof_model.pose_array_matrices(
+        runner.params["pose_array"], runner.spec, jnp.arange(2)))
+    np.testing.assert_allclose(T[0], np.eye(4), atol=1e-6)
+    assert np.abs(T[1] - np.eye(4)).max() > 1e-3

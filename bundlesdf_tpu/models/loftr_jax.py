@@ -214,11 +214,17 @@ class LoftrModule(nn.Module):
     cfg: LoftrCfg
 
     @nn.compact
-    def __call__(self, img0, img1):
+    def __call__(self, img0, img1, gt_ids=None):
         """img0/img1: (B, H, W, 1) grayscale in [0,1].  H, W divisible by 8.
 
-        Returns dict of fixed-capacity matches (per batch item):
-          mkpts0, mkpts1: (B, K, 2) pixel coords; conf: (B, K); valid: (B, K).
+        Inference (gt_ids None) returns dict of fixed-capacity matches (per
+        batch item): mkpts0, mkpts1: (B, K, 2) pixel coords; conf: (B, K);
+        valid: (B, K).
+
+        Training (gt_ids = (i_ids, j_ids), each (B, K) coarse cell ids)
+        teacher-forces the fine branch at the ground-truth coarse cells and
+        returns {conf_matrix: (B, L, S), mkpts1_f: (B, K, 2)} for the loss
+        (reference LoFTR/src/losses/loftr_loss.py supervision points).
         """
         c = self.cfg
         backbone = ResNetFPN82(c, name="backbone")
@@ -240,6 +246,72 @@ class LoftrModule(nn.Module):
         f1n = f1 / (c.d_coarse ** 0.5)
         sim = jnp.einsum("bld,bsd->bls", f0n, f1n) / c.dsmax_temp
         conf = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+
+        # ---------------- fine branch (shared by both modes) ----------------
+        W = c.window
+        stride = Hf // Hc  # 4
+        down = nn.Dense(c.d_fine, name="fine_down_proj")
+        merge = nn.Dense(c.d_fine, name="fine_merge_feat")
+        ft = LocalFeatureTransformer(c.d_fine, c.nhead, c.fine_pairs,
+                                     name="loftr_fine")
+
+        # W x W window offsets around a fine-grid center
+        offs = jnp.stack(
+            jnp.meshgrid(jnp.arange(-(W // 2), W // 2 + 1),
+                         jnp.arange(-(W // 2), W // 2 + 1), indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 2)  # (WW, 2) [dy, dx]
+        WW = W * W
+
+        def fine_refine(i_ids, j_ids):
+            """Teacher/inference-shared fine head: window gather at coarse
+            cells -> fine transformer -> heatmap expectation. Returns the
+            sub-cell delta (B, K, 2) in input pixels."""
+
+            def gather_windows(feat_f, ids):
+                # feat_f: (Hf, Wf, D), ids: (K,) coarse cell ids
+                cy = (ids // Wc) * stride
+                cx = (ids % Wc) * stride
+                yy = jnp.clip(cy[:, None] + offs[None, :, 0], 0, Hf - 1)
+                xx = jnp.clip(cx[:, None] + offs[None, :, 1], 0, Wf - 1)
+                return feat_f[yy, xx]  # (K, WW, D)
+
+            w0 = jax.vmap(gather_windows)(ff0, i_ids)  # (B, K, WW, Df)
+            w1 = jax.vmap(gather_windows)(ff1, j_ids)
+            # coarse context concat (fine_preprocess.py cat_c_feat)
+            c0 = jax.vmap(lambda f, i: f[i])(f0, i_ids)  # (B, K, Dc)
+            c1 = jax.vmap(lambda f, i: f[i])(f1, j_ids)
+            d0 = down(c0)[:, :, None, :]
+            d1 = down(c1)[:, :, None, :]
+            w0m = merge(jnp.concatenate(
+                [w0, jnp.broadcast_to(d0, w0.shape[:3] + (c.d_fine,))], -1))
+            w1m = merge(jnp.concatenate(
+                [w1, jnp.broadcast_to(d1, w1.shape[:3] + (c.d_fine,))], -1))
+            Kn = i_ids.shape[1]
+            w0f, w1f = ft(
+                w0m.reshape(B * Kn, WW, c.d_fine), w1m.reshape(B * Kn, WW, c.d_fine)
+            )
+            # expectation over heatmap (fine_matching.py)
+            center = w0f[:, WW // 2, :]  # (BK, D)
+            simf = jnp.einsum("mc,mrc->mr", center, w1f) / (c.d_fine ** 0.5)
+            heat = jax.nn.softmax(simf, axis=1)  # (BK, WW)
+            grid = (offs[:, ::-1].astype(jnp.float32)) / (W // 2)  # [dx, dy]
+            coords = jnp.einsum("mr,rd->md", heat, grid)  # (BK, 2) in [-1, 1]
+            scale_f = 2  # input -> fine
+            return coords.reshape(B, Kn, 2) * (W // 2) * scale_f
+
+        def cells_to_px(ids):
+            return jnp.stack([(ids % Wc), (ids // Wc)], axis=-1).astype(jnp.float32) * 8
+
+        if gt_ids is not None:
+            # training mode: teacher-forced fine windows at GT coarse cells
+            i_ids, j_ids = gt_ids
+            delta = fine_refine(i_ids, j_ids)
+            return {
+                "conf_matrix": conf,
+                "mkpts0": cells_to_px(i_ids),
+                "mkpts1_f": cells_to_px(j_ids) + delta,
+            }
 
         # mutual nearest + threshold, fixed-capacity top-K
         best_j = jnp.argmax(conf, axis=2)          # (B, L)
@@ -263,58 +335,9 @@ class LoftrModule(nn.Module):
         j_ids = jnp.take_along_axis(best_j, i_ids, axis=1)
         valid = top_conf > 0
 
-        scale = 8  # input -> coarse
-        mk0 = jnp.stack([(i_ids % Wc), (i_ids // Wc)], axis=-1).astype(jnp.float32) * scale
-        mk1 = jnp.stack([(j_ids % Wc), (j_ids // Wc)], axis=-1).astype(jnp.float32) * scale
-
-        # ---------------- fine refinement ----------------
-        W = c.window
-        stride = Hf // Hc  # 4
-        down = nn.Dense(c.d_fine, name="fine_down_proj")
-        merge = nn.Dense(c.d_fine, name="fine_merge_feat")
-
-        # gather W x W windows centered at (coarse cell * stride)
-        offs = jnp.stack(
-            jnp.meshgrid(jnp.arange(-(W // 2), W // 2 + 1),
-                         jnp.arange(-(W // 2), W // 2 + 1), indexing="ij"),
-            axis=-1,
-        ).reshape(-1, 2)  # (WW, 2) [dy, dx]
-
-        def gather_windows(feat_f, ids):
-            # feat_f: (Hf, Wf, D), ids: (K,) coarse cell ids
-            cy = (ids // Wc) * stride
-            cx = (ids % Wc) * stride
-            yy = cy[:, None] + offs[None, :, 0]
-            xx = cx[:, None] + offs[None, :, 1]
-            yy = jnp.clip(yy, 0, Hf - 1)
-            xx = jnp.clip(xx, 0, Wf - 1)
-            return feat_f[yy, xx]  # (K, WW, D)
-
-        w0 = jax.vmap(gather_windows)(ff0, i_ids)  # (B, K, WW, Df)
-        w1 = jax.vmap(gather_windows)(ff1, j_ids)
-        # coarse context concat (fine_preprocess.py cat_c_feat)
-        c0 = jax.vmap(lambda f, i: f[i])(f0, i_ids)  # (B, K, Dc)
-        c1 = jax.vmap(lambda f, i: f[i])(f1, j_ids)
-        d0 = down(c0)[:, :, None, :]
-        d1 = down(c1)[:, :, None, :]
-        WW = W * W
-        w0 = merge(jnp.concatenate([w0, jnp.broadcast_to(d0, w0.shape[:3] + (c.d_fine,))], -1))
-        w1 = merge(jnp.concatenate([w1, jnp.broadcast_to(d1, w1.shape[:3] + (c.d_fine,))], -1))
-
-        ft = LocalFeatureTransformer(c.d_fine, c.nhead, c.fine_pairs,
-                                     name="loftr_fine")
-        w0f, w1f = ft(
-            w0.reshape(B * K, WW, c.d_fine), w1.reshape(B * K, WW, c.d_fine)
-        )
-        # expectation over heatmap (fine_matching.py)
-        center = w0f[:, WW // 2, :]  # (BK, D)
-        simf = jnp.einsum("mc,mrc->mr", center, w1f) / (c.d_fine ** 0.5)
-        heat = jax.nn.softmax(simf, axis=1)  # (BK, WW)
-        grid = (offs[:, ::-1].astype(jnp.float32)) / (W // 2)  # normalized [dx, dy]
-        coords = jnp.einsum("mr,rd->md", heat, grid)  # (BK, 2) in [-1, 1]
-        scale_f = 2  # input -> fine
-        delta = coords.reshape(B, K, 2) * (W // 2) * scale_f
-        mk1_f = mk1 + delta
+        delta = fine_refine(i_ids, j_ids)
+        mk0 = cells_to_px(i_ids)
+        mk1_f = cells_to_px(j_ids) + delta
 
         return {
             "mkpts0": mk0,

@@ -150,3 +150,70 @@ def match_pairs_batched(imgs_a: jnp.ndarray, imgs_b: jnp.ndarray,
     (loftr_wrapper.py:43-58) — all pairs in one launch.
     """
     return jax.vmap(lambda a, b: match_pair(a, b, cfg))(imgs_a, imgs_b)
+
+
+class SiftMatcher:
+    """Classical SIFT fallback matcher (reference SiftManager base class,
+    FeatureManager.h:98-213 / FeatureManager.cpp detectFeature + mutual-kNN
+    findCorres): host-side OpenCV SIFT + ratio-tested mutual matching.
+
+    Same ``predict`` contract as LoftrMatcher / match_pairs_batched:
+    (B, H, W) grayscale pairs -> ((B, K, 5) [uA, vA, uB, vB, conf], (B, K)
+    valid).  Host-only by design — it is the no-accelerator fallback and
+    the parity oracle for the jitted matchers.
+    """
+
+    def __init__(self, max_matches: int = 512, ratio: float = 0.8,
+                 nfeatures: int = 2000):
+        import cv2
+
+        self._cv2 = cv2
+        self.max_matches = max_matches
+        self.ratio = ratio
+        self.sift = cv2.SIFT_create(nfeatures=nfeatures)
+
+    def _match_one(self, a, b):
+        import numpy as np
+        cv2 = self._cv2
+
+        kA, dA = self.sift.detectAndCompute(a, None)
+        kB, dB = self.sift.detectAndCompute(b, None)
+        K = self.max_matches
+        out = np.zeros((K, 5), np.float32)
+        valid = np.zeros(K, bool)
+        if dA is None or dB is None or len(kA) < 2 or len(kB) < 2:
+            return out, valid
+        bf = cv2.BFMatcher(cv2.NORM_L2)
+        ab = bf.knnMatch(dA, dB, k=2)
+        ba = bf.knnMatch(dB, dA, k=2)
+        best_ba = {m[0].queryIdx: m[0].trainIdx for m in ba if len(m) == 2
+                   and m[0].distance < self.ratio * m[1].distance}
+        rows = []
+        for m in ab:
+            if len(m) != 2 or m[0].distance >= self.ratio * m[1].distance:
+                continue
+            if best_ba.get(m[0].trainIdx) != m[0].queryIdx:  # mutual
+                continue
+            ua, va_ = kA[m[0].queryIdx].pt
+            ub, vb_ = kB[m[0].trainIdx].pt
+            conf = 1.0 / (1.0 + m[0].distance)
+            rows.append((ua, va_, ub, vb_, conf))
+        rows.sort(key=lambda r: -r[4])
+        n = min(len(rows), K)
+        if n:
+            out[:n] = rows[:n]
+            valid[:n] = True
+        return out, valid
+
+    def predict(self, grayAs, grayBs):
+        import numpy as np
+
+        a = np.asarray(grayAs)
+        b = np.asarray(grayBs)
+        if a.dtype != np.uint8:
+            mx = max(float(a.max()), 1e-6)
+            a = (a / mx * 255 if mx <= 1.5 else a).astype(np.uint8)
+            b = (b / mx * 255 if mx <= 1.5 else b).astype(np.uint8)
+        outs = [self._match_one(a[i], b[i]) for i in range(len(a))]
+        return (np.stack([o[0] for o in outs]),
+                np.stack([o[1] for o in outs]))

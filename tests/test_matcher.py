@@ -60,3 +60,32 @@ def test_no_matches_on_flat_images():
     cfg = matcher.CornerMatcherCfg()
     res = matcher.match_pair(jnp.asarray(flat), jnp.asarray(flat), cfg)
     assert np.asarray(res["valid"]).sum() == 0
+
+
+def test_sift_matcher_identity_and_shift():
+    """SiftMatcher (reference SiftManager mutual-kNN): identical images
+    match at zero displacement; a pure translation is recovered."""
+    import numpy as np
+    from bundlesdf_tpu.models.matcher import SiftMatcher
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((120, 120), np.uint8)
+    for _ in range(40):  # random blobs give SIFT something to find
+        y, x = rng.integers(10, 110, 2)
+        img[max(0,y-3):y+3, max(0,x-3):x+3] = rng.integers(80, 255)
+    import cv2
+    img = cv2.GaussianBlur(img, (5, 5), 1.0)
+
+    m = SiftMatcher(max_matches=128)
+    corres, valid = m.predict(img[None], img[None])
+    assert valid[0].sum() >= 10
+    c = corres[0][valid[0]]
+    np.testing.assert_allclose(c[:, :2], c[:, 2:4], atol=0.5)
+
+    shifted = np.roll(img, (7, 4), axis=(0, 1))
+    corres, valid = m.predict(img[None], shifted[None])
+    c = corres[0][valid[0]]
+    assert len(c) >= 10
+    d = c[:, 2:4] - c[:, :2]
+    med = np.median(d, axis=0)
+    np.testing.assert_allclose(med, [4.0, 7.0], atol=0.7)

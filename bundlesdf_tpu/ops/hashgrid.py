@@ -106,26 +106,90 @@ _CORNERS = np.array(
 )
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def hash_encode(x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
-    """Encode points x in [-1, 1]^3 -> (N, num_levels * level_dim).
-
-    Out-of-range points are clamped (callers mask validity separately, as
-    the reference does in run_network nerf_runner.py:1246).
-    """
+def _encode_impl(x, table, spec: HashGridSpec):
+    """Forward trilinear hash encode.  Static unroll over the 8 corners:
+    keeping every intermediate at (N,) / (N, C) — never (N, 8, ·) — matters
+    on TPU, where an 8-sized minor dimension tiles to 128 lanes (16x memory
+    blowup; a (C, N, 8) jvp temp of this op OOMed the offline-budget train
+    step at 640 MB per buffer before this was restructured)."""
     x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
     feats = []
-    corners = jnp.asarray(_CORNERS)  # (8, 3)
     for p in spec.level_params():
         pos = x01 * p["scale"] + 0.5
         pos_grid = jnp.floor(pos)
         frac = pos - pos_grid
         pos_grid = pos_grid.astype(jnp.int32)  # (N, 3)
-        corner_xyz = pos_grid[:, None, :] + corners[None]  # (N, 8, 3)
-        idx = _corner_index(corner_xyz, p["res"], p["size"], p["dense"])
-        rows = table[p["offset"] + idx.astype(jnp.int32)]  # (N, 8, C)
-        # trilinear weights: prod over dims of (1-frac) or frac
-        w = jnp.where(corners[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
-        w = jnp.prod(w, axis=-1)  # (N, 8)
-        feats.append(jnp.sum(rows * w[..., None], axis=1))
+        acc = None
+        for c in _CORNERS:
+            idx = _corner_index(pos_grid + c[None], p["res"], p["size"], p["dense"])
+            rows = table[p["offset"] + idx.astype(jnp.int32)]  # (N, C)
+            w = jnp.prod(
+                jnp.where(c[None].astype(bool), frac, 1.0 - frac), axis=-1
+            )  # (N,)
+            term = rows * w[:, None]
+            acc = term if acc is None else acc + term
+        feats.append(acc)
     return jnp.concatenate(feats, axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode(x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """Encode points x in [-1, 1]^3 -> (N, num_levels * level_dim).
+
+    Out-of-range points are clamped (callers mask validity separately, as
+    the reference does in run_network nerf_runner.py:1246).
+
+    Custom VJP (replaces the reference's kernel_grid_backward atomics,
+    gridencoder.cu:250): the table cotangent is ONE flat scatter-add into a
+    (total*C,) view — measured 3.3x faster on TPU than XLA's row-scatter
+    from plain autodiff ((T, 2)-shaped scatter pays a 64x lane-padding tax).
+    Indices/weights are recomputed in the backward (cheap gathers) instead
+    of saved (a (N, 8L, C) residual would re-introduce the padding blowup).
+    """
+    return _encode_impl(x, table, spec)
+
+
+def _hash_encode_fwd(x, table, spec):
+    return _encode_impl(x, table, spec), (x, table)
+
+
+def _hash_encode_bwd(spec, res, g):
+    x, table = res
+    C = spec.level_dim
+    x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+    flat_idx_parts = []
+    contrib_parts = []
+    dx01 = jnp.zeros_like(x)
+    for li, p in enumerate(spec.level_params()):
+        g_l = g[:, li * C:(li + 1) * C]  # (N, C)
+        pos = x01 * p["scale"] + 0.5
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        pos_grid = pos_grid.astype(jnp.int32)
+        for c in _CORNERS:
+            idx = _corner_index(pos_grid + c[None], p["res"], p["size"], p["dense"])
+            row_id = p["offset"] + idx.astype(jnp.int32)  # (N,)
+            sel = jnp.where(c[None].astype(bool), frac, 1.0 - frac)  # (N, 3)
+            w = jnp.prod(sel, axis=-1)  # (N,)
+            # table cotangent
+            flat_idx_parts.append(
+                (row_id[:, None] * C + jnp.arange(C)[None]).ravel())
+            contrib_parts.append((w[:, None] * g_l).ravel())
+            # coordinate cotangent: dw/dx01_k = scale * sign_k * prod_{j!=k} sel_j
+            rows = table[row_id]  # (N, C)
+            gdotrow = jnp.sum(g_l * rows, axis=-1)  # (N,)
+            sign = jnp.where(c[None].astype(bool), 1.0, -1.0)  # (1, 3)
+            prod_others = jnp.stack(
+                [sel[:, 1] * sel[:, 2], sel[:, 0] * sel[:, 2],
+                 sel[:, 0] * sel[:, 1]], axis=-1)  # (N, 3)
+            dx01 = dx01 + (gdotrow[:, None] * sign * prod_others) * p["scale"]
+    d_table_flat = jnp.zeros(table.size, table.dtype).at[
+        jnp.concatenate(flat_idx_parts)
+    ].add(jnp.concatenate(contrib_parts))
+    # chain through x01 = clip((x+1)/2): derivative 0.5 inside, 0 at clip
+    inside = (jnp.abs(x) <= 1.0).astype(x.dtype)
+    dx = dx01 * 0.5 * inside
+    return dx, d_table_flat.reshape(table.shape)
+
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)

@@ -90,3 +90,26 @@ def test_sh_degree4():
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     out = sh.sh_encode(dirs, 4)
     assert out.shape == (5, 16)
+
+
+def test_custom_vjp_matches_autodiff():
+    """hash_encode's flat-scatter custom VJP (TPU lane-padding fix) must
+    match plain autodiff of the forward impl for both cotangents."""
+    import jax
+
+    spec = hashgrid.HashGridSpec(4, 2, 16, 128, 15)
+    key = jax.random.PRNGKey(0)
+    tab = hashgrid.init_table(key, spec) * 1000
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-1.1, maxval=1.1)
+
+    f_custom = lambda x, t: hashgrid.hash_encode(x, t, spec)
+    f_ref = lambda x, t: hashgrid._encode_impl(x, t, spec)
+    np.testing.assert_allclose(f_custom(x, tab), f_ref(x, tab), rtol=1e-6)
+
+    gc = jax.grad(lambda x, t: jnp.sum(jnp.sin(f_custom(x, t))), argnums=(0, 1))(x, tab)
+    gr = jax.grad(lambda x, t: jnp.sum(jnp.sin(f_ref(x, t))), argnums=(0, 1))(x, tab)
+    np.testing.assert_allclose(gc[0], gr[0], rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(gc[1], gr[1], rtol=2e-4, atol=2e-6)
+    # out-of-range coordinates: zero grad on the clipped dims
+    out_dims = np.abs(np.asarray(x)) > 1.0
+    assert np.all(np.asarray(gc[0])[out_dims] == 0.0)

@@ -37,7 +37,8 @@ def main():
         optax.scale_by_schedule(lambda s: -0.01 * (0.1 ** (s / 500.0))),
     )
     opt_state = optimizer.init(params)
-    train_step = nof_runner.make_train_step(st, optimizer)
+    train_step, _ = nof_runner.make_train_step(st, optimizer)
+    train_many = nof_runner.make_train_loop(st, optimizer)
 
     key = jax.random.PRNGKey(0)
     n_rays = np.int32(rays.shape[0])
@@ -48,19 +49,20 @@ def main():
     pool = jnp.tile(rays, (8, 1))
     n_rays = jnp.asarray(pool.shape[0], jnp.int32)
 
-    # Warmup / compile.
-    params_c, opt_c = params, opt_state
-    for i in range(3):
-        params_c, opt_c, metrics = train_step(
-            params_c, opt_c, i, key, pool, n_rays, grid, c2w
-        )
+    # Warmup / compile (the scanned loop is what the pipeline runs:
+    # one device launch per 25 steps instead of per step).
+    CHUNK = 25
+    params_c, opt_c, metrics = train_many(
+        params, opt_state, 0, key, pool, n_rays, grid, c2w, CHUNK
+    )
     jax.block_until_ready(metrics["loss"])
 
     n_steps = 100
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        params_c, opt_c, metrics = train_step(
-            params_c, opt_c, i + 3, key, pool, n_rays, grid, c2w
+    for i in range(n_steps // CHUNK):
+        params_c, opt_c, metrics = train_many(
+            params_c, opt_c, CHUNK + i * CHUNK, key, pool, n_rays, grid, c2w,
+            CHUNK
         )
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0

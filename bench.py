@@ -55,7 +55,9 @@ def main():
     params_c, opt_c, metrics = train_many(
         params, opt_state, 0, key, pool, n_rays, grid, c2w, CHUNK
     )
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # d2h readback: block_until_ready is NOT an
+    # execution barrier on the tunneled axon backend (it returned after
+    # dispatch, inflating a measured 2.2 steps/s to a bogus 10k steps/s)
 
     n_steps = 100
     t0 = time.perf_counter()
@@ -64,7 +66,7 @@ def main():
             params_c, opt_c, CHUNK + i * CHUNK, key, pool, n_rays, grid, c2w,
             CHUNK
         )
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # true barrier (see above)
     dt = time.perf_counter() - t0
     steps_per_s = n_steps / dt
 

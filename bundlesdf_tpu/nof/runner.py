@@ -378,6 +378,7 @@ class NofRunner:
         pts = np.asarray(pts, dtype=np.float32).reshape(-1, 3)
         if len(pts) == 0:
             pts = np.zeros((1, 3), dtype=np.float32)
+        self._build_pts = pts  # fused cloud, also used by the ray denoise
         # Pad to a power-of-2 bucket: the fused-cloud size changes every
         # chunk and each distinct shape would recompile the scatter on TPU.
         n = len(pts)
@@ -492,7 +493,37 @@ class NofRunner:
         chunks = [c for c in chunks if len(c)]
         if not chunks:
             return np.zeros((0, nof_render.RAY_DIM), dtype=np.float32)
-        return self._cull_rays_by_occupancy(np.concatenate(chunks, axis=0))
+        rays = self._cull_rays_by_occupancy(np.concatenate(chunks, axis=0))
+        if bool(self.cfg.get("denoise_depth_use_octree_cloud", False)):
+            rays = self._denoise_rays_by_cloud(rays)
+        return rays
+
+    def _denoise_rays_by_cloud(self, rays: np.ndarray) -> np.ndarray:
+        """Drop rays whose measured 3D point is >2 cm from the fused build
+        cloud (reference denoise via cKDTree over build_octree_pts,
+        nerf_runner.py:177-194) — removes depth-sensor outliers that would
+        supervise the SDF with phantom surfaces.  Host-side, once per
+        keyframe batch."""
+        pts_cloud = getattr(self, "_build_pts", None)
+        if pts_cloud is None or len(pts_cloud) == 0 or len(rays) == 0:
+            return rays
+        from scipy.spatial import cKDTree
+
+        sc = float(self.cfg["sc_factor"])
+        mask = (rays[:, nof_render.RAY_MASK] > 0) & (
+            rays[:, nof_render.RAY_DEPTH] <= float(self.cfg["far"]) * sc)
+        if not mask.any():
+            return rays
+        d = rays[mask]
+        pts3d = d[:, nof_render.RAY_DIR] * d[:, nof_render.RAY_DEPTH][:, None]
+        fids = d[:, nof_render.RAY_FRAME_ID].astype(np.int32)
+        pose = self.c2w_np[fids]
+        pts_w = np.einsum("nab,nb->na", pose[:, :3, :3], pts3d) + pose[:, :3, 3]
+        dists, _ = cKDTree(pts_cloud).query(pts_w, k=1, workers=-1)
+        bad = dists > 0.02 * sc
+        keep = np.ones(len(rays), bool)
+        keep[np.flatnonzero(mask)[bad]] = False
+        return rays[keep]
 
     def _upload_rays(self):
         n = len(self.rays_np)

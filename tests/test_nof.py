@@ -244,3 +244,38 @@ def test_train_ba_recovers_perturbed_pose():
         runner.params["pose_array"], runner.spec, jnp.arange(2)))
     np.testing.assert_allclose(T[0], np.eye(4), atol=1e-6)
     assert np.abs(T[1] - np.eye(4)).max() > 1e-3
+
+
+def test_denoise_rays_by_cloud_drops_outliers():
+    """Octree-cloud ray denoise (reference nerf_runner.py:177-194): rays
+    whose 3D point is far from the fused cloud are dropped."""
+    data = make_sphere_dataset(n_views=3, H=32, W=32)
+    cfg = tiny_cfg()
+    cfg["denoise_depth_use_octree_cloud"] = True
+    runner = NofRunner(
+        cfg, data["images"], data["depths"], data["masks"], data["poses"],
+        data["K"], data["cloud"],
+    )
+    n_clean = len(runner.rays_np)
+    assert n_clean > 0
+
+    # corrupt some depths -> phantom points far from the cloud
+    depths_bad = data["depths"].copy()
+    H, W = depths_bad.shape[1:3]
+    sel = (data["masks"][0] > 0) & (data["depths"][0] > 0.1)
+    vs, us = np.where(sel)
+    depths_bad[0, vs[::3], us[::3]] += 0.3  # 30 cm outliers
+    cfg2 = tiny_cfg()
+    cfg2["denoise_depth_use_octree_cloud"] = True
+    r_bad = NofRunner(
+        cfg2, data["images"], depths_bad, data["masks"], data["poses"],
+        data["K"], data["cloud"],
+    )
+    cfg3 = tiny_cfg()
+    cfg3["denoise_depth_use_octree_cloud"] = False
+    r_keep = NofRunner(
+        cfg3, data["images"], depths_bad, data["masks"], data["poses"],
+        data["K"], data["cloud"],
+    )
+    # with denoise on, corrupted rays are dropped; off keeps them
+    assert len(r_bad.rays_np) < len(r_keep.rays_np)

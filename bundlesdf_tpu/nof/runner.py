@@ -545,6 +545,10 @@ class NofRunner:
     def _train_inner(self, n_steps):
         metrics = {}
         done = 0
+        # checkpoint cadence (reference i_weights, config.yml:37 — default
+        # effectively off); checked at loop-chunk granularity
+        i_weights = int(self.cfg.get("i_weights", 999999))
+        next_ckpt = (self.global_step // i_weights + 1) * i_weights
         while done < n_steps:
             n = min(self.loop_chunk, n_steps - done)
             self.params, self.opt_state, metrics = self._train_many(
@@ -553,6 +557,12 @@ class NofRunner:
             )
             self.global_step += n
             done += n
+            if self.global_step >= next_ckpt:
+                import os
+
+                os.makedirs(self.cfg["save_dir"], exist_ok=True)
+                self.save_weights(f"{self.cfg['save_dir']}/model_latest.pth")
+                next_ckpt += i_weights
         return jax.tree_util.tree_map(lambda x: float(x), metrics)
 
     # ------------------------------------------------------------------

@@ -279,3 +279,24 @@ def test_denoise_rays_by_cloud_drops_outliers():
     )
     # with denoise on, corrupted rays are dropped; off keeps them
     assert len(r_bad.rays_np) < len(r_keep.rays_np)
+
+
+def test_i_weights_checkpoint_cadence(tmp_path):
+    """i_weights cadence (reference config.yml:37): model_latest.pth is
+    written during training and restores."""
+    data = make_sphere_dataset(n_views=2, H=32, W=32)
+    cfg = tiny_cfg()
+    cfg["N_rand"] = 128
+    cfg["i_weights"] = 4
+    cfg["loop_chunk"] = 2
+    cfg["save_dir"] = str(tmp_path)
+    runner = NofRunner(
+        cfg, data["images"], data["depths"], data["masks"], data["poses"],
+        data["K"], data["cloud"],
+    )
+    runner.train(6)
+    ckpt = tmp_path / "model_latest.pth"
+    assert ckpt.exists()
+    step_before = runner.global_step
+    runner.load_weights(str(ckpt))
+    assert runner.global_step in (4, 6) and runner.global_step <= step_before

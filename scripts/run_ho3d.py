@@ -54,8 +54,14 @@ if __name__ == "__main__":
     p.add_argument("--out_dir", required=True)
     p.add_argument("--video_names", nargs="*", default=None)
     p.add_argument("--no_nerf", action="store_true")
+    p.add_argument("--shard", default="0/1",
+                   help="i/n — process every n-th video starting at i "
+                        "(embarrassingly-parallel multi-host scale-out; "
+                        "SURVEY.md 2.5: reference loops videos serially)")
     args = p.parse_args()
     names = args.video_names or HO3D_VIDEOS
+    si, sn = (int(x) for x in args.shard.split("/"))
+    names = names[si::sn]
     for name in names:
         video_dir = f"{args.ho3d_dir}/evaluation/{name}"
         if not os.path.isdir(video_dir):

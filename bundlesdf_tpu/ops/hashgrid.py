@@ -2,9 +2,9 @@
 
 TPU-native replacement for the reference's CUDA grid encoder
 (mycuda/torch_ngp_grid_encoder/gridencoder.cu kernels + grid.py autograd):
-the per-level trilinear gather becomes a batched XLA gather and the
-backward scatter-add falls out of autodiff of the gather (XLA lowers it to
-an efficient sorted scatter on TPU — no atomics needed).
+the per-level trilinear gather is unrolled into flat 1-D XLA gathers and
+the backward is a custom VJP issuing ONE flat scatter-add (atomics-free;
+see hash_encode docstring for the TPU layout rationale).
 
 Scheme parity with the reference kernel (gridencoder.cu:155-190):
   * per-level scale  = exp2(level * log2(per_level_scale)) * base - 1
@@ -14,7 +14,7 @@ Scheme parity with the reference kernel (gridencoder.cu:155-190):
     with primes {1, 2654435761, 805459861}
   * trilinear blend of the 8 corners, levels concatenated.
 
-The table is a single (total_entries, level_dim) array with static
+The table is a single flat (total_entries * level_dim,) array with static
 per-level offsets — the natural unit to index-shard across devices for the
 multi-host map-partitioning path (see parallel/).
 """
@@ -75,9 +75,17 @@ class HashGridSpec(NamedTuple):
 
 
 def init_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jnp.ndarray:
-    """Uniform(-1e-4, 1e-4) init like the reference grid.py reset_parameters."""
+    """Uniform(-1e-4, 1e-4) init like the reference grid.py reset_parameters.
+
+    The table is FLAT 1-D, shape (total_entries * level_dim,), row-major —
+    entry e's features at [e*C : (e+1)*C].  On TPU a (T, 2) parameter (and
+    every temp/cotangent shaped like it) lane-pads 2 -> 128 (64x memory: a
+    9.7 GB cotangent temp at the offline budget); a 1-D array tiles
+    compactly (T(1024)), so gathers, the scatter-add cotangent, and Adam
+    state all stay unpadded."""
     return jax.random.uniform(
-        key, (spec.total_entries, spec.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+        key, (spec.total_entries * spec.level_dim,), dtype=dtype,
+        minval=-1e-4, maxval=1e-4
     )
 
 
@@ -107,29 +115,31 @@ _CORNERS = np.array(
 
 
 def _encode_impl(x, table, spec: HashGridSpec):
-    """Forward trilinear hash encode.  Static unroll over the 8 corners:
-    keeping every intermediate at (N,) / (N, C) — never (N, 8, ·) — matters
-    on TPU, where an 8-sized minor dimension tiles to 128 lanes (16x memory
-    blowup; a (C, N, 8) jvp temp of this op OOMed the offline-budget train
-    step at 640 MB per buffer before this was restructured)."""
+    """Forward trilinear hash encode over the FLAT table.  Static unroll
+    over the 8 corners and over the C channels: every intermediate is a
+    plain (N,) vector — never (N, 8, ·) or (N, C) — because any small minor
+    dimension tiles to 128 lanes on TPU (a (C, N, 8) jvp temp of an earlier
+    formulation OOMed the offline-budget train step at 640 MB/buffer)."""
+    C = spec.level_dim
     x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
-    feats = []
+    cols = []  # L * C arrays of (N,)
     for p in spec.level_params():
         pos = x01 * p["scale"] + 0.5
         pos_grid = jnp.floor(pos)
         frac = pos - pos_grid
         pos_grid = pos_grid.astype(jnp.int32)  # (N, 3)
-        acc = None
+        acc = [None] * C
         for c in _CORNERS:
             idx = _corner_index(pos_grid + c[None], p["res"], p["size"], p["dense"])
-            rows = table[p["offset"] + idx.astype(jnp.int32)]  # (N, C)
+            base = (p["offset"] + idx.astype(jnp.int32)) * C
             w = jnp.prod(
                 jnp.where(c[None].astype(bool), frac, 1.0 - frac), axis=-1
             )  # (N,)
-            term = rows * w[:, None]
-            acc = term if acc is None else acc + term
-        feats.append(acc)
-    return jnp.concatenate(feats, axis=-1)
+            for ch in range(C):
+                term = table[base + ch] * w
+                acc[ch] = term if acc[ch] is None else acc[ch] + term
+        cols.extend(acc)
+    return jnp.stack(cols, axis=-1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -161,35 +171,39 @@ def _hash_encode_bwd(spec, res, g):
     contrib_parts = []
     dx01 = jnp.zeros_like(x)
     for li, p in enumerate(spec.level_params()):
-        g_l = g[:, li * C:(li + 1) * C]  # (N, C)
+        g_cols = [g[:, li * C + ch] for ch in range(C)]  # C x (N,)
         pos = x01 * p["scale"] + 0.5
         pos_grid = jnp.floor(pos)
         frac = pos - pos_grid
         pos_grid = pos_grid.astype(jnp.int32)
         for c in _CORNERS:
             idx = _corner_index(pos_grid + c[None], p["res"], p["size"], p["dense"])
-            row_id = p["offset"] + idx.astype(jnp.int32)  # (N,)
+            base = (p["offset"] + idx.astype(jnp.int32)) * C  # (N,)
             sel = jnp.where(c[None].astype(bool), frac, 1.0 - frac)  # (N, 3)
             w = jnp.prod(sel, axis=-1)  # (N,)
-            # table cotangent
-            flat_idx_parts.append(
-                (row_id[:, None] * C + jnp.arange(C)[None]).ravel())
-            contrib_parts.append((w[:, None] * g_l).ravel())
-            # coordinate cotangent: dw/dx01_k = scale * sign_k * prod_{j!=k} sel_j
-            rows = table[row_id]  # (N, C)
-            gdotrow = jnp.sum(g_l * rows, axis=-1)  # (N,)
+            gdotrow = None
+            for ch in range(C):
+                # table cotangent contribution
+                flat_idx_parts.append(base + ch)
+                contrib_parts.append(w * g_cols[ch])
+                # coordinate cotangent needs g . T[row]
+                t = g_cols[ch] * table[base + ch]
+                gdotrow = t if gdotrow is None else gdotrow + t
+            # dw/dx01_k = scale * sign_k * prod_{j!=k} sel_j
             sign = jnp.where(c[None].astype(bool), 1.0, -1.0)  # (1, 3)
             prod_others = jnp.stack(
                 [sel[:, 1] * sel[:, 2], sel[:, 0] * sel[:, 2],
                  sel[:, 0] * sel[:, 1]], axis=-1)  # (N, 3)
             dx01 = dx01 + (gdotrow[:, None] * sign * prod_others) * p["scale"]
-    d_table_flat = jnp.zeros(table.size, table.dtype).at[
+    # ONE flat 1-D scatter-add, cotangent already in the param's shape —
+    # no reshape, no padded temps
+    d_table = jnp.zeros_like(table).at[
         jnp.concatenate(flat_idx_parts)
     ].add(jnp.concatenate(contrib_parts))
     # chain through x01 = clip((x+1)/2): derivative 0.5 inside, 0 at clip
     inside = (jnp.abs(x) <= 1.0).astype(x.dtype)
     dx = dx01 * 0.5 * inside
-    return dx, d_table_flat.reshape(table.shape)
+    return dx, d_table
 
 
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)

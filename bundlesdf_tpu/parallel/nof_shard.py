@@ -32,7 +32,7 @@ def make_dp_train_step(st: nof_runner.TrainStatics, optimizer, mesh: Mesh,
       * params['table'] is constrained to P('dp') rows when shard_table.
     """
     base_step_impl = _make_impl(st, optimizer, mesh, shard_table)
-    table_spec = P("dp") if shard_table else P()
+    table_spec = P("dp") if shard_table else P()  # table is flat 1-D
 
     def place(params, opt_state, rays, grid, c2w):
         """Device-place state according to the step's shardings."""
@@ -57,7 +57,7 @@ def _make_impl(st: nof_runner.TrainStatics, optimizer, mesh: Mesh, shard_table: 
     from ..nof import render as nof_render
 
     batch_sharding = NamedSharding(mesh, P("dp", None))
-    table_sharding = NamedSharding(mesh, P("dp", None) if shard_table else P())
+    table_sharding = NamedSharding(mesh, P("dp") if shard_table else P())
 
     def loss_fn(params, key, batch, grid, c2w, step):
         truncation = nof_losses.truncation_value(

@@ -55,7 +55,7 @@ def test_encode_gradient_scatter():
     def f(tbl):
         return hashgrid.hash_encode(x, tbl, spec).sum()
 
-    g = np.array(jax.grad(f)(table))
+    g = np.array(jax.grad(f)(table)).reshape(-1, spec.level_dim)  # flat table
     nz_rows = np.unique(np.nonzero(g)[0])
     # at most 8 corners per level touched
     assert 0 < len(nz_rows) <= 8 * spec.num_levels
@@ -69,7 +69,7 @@ def test_encode_gradient_scatter():
 def test_dense_level_distinct_cells():
     # On a dense level, different cells hit different rows.
     spec = hashgrid.HashGridSpec(1, 2, 4, 4, 19)
-    table = jnp.array(np.random.randn(spec.total_entries, 2).astype(np.float32))
+    table = jnp.array(np.random.randn(spec.total_entries * 2).astype(np.float32))
     a = hashgrid.hash_encode(jnp.array([[-0.9, -0.9, -0.9]]), table, spec)
     b = hashgrid.hash_encode(jnp.array([[0.9, 0.9, 0.9]]), table, spec)
     assert np.abs(np.array(a) - np.array(b)).max() > 1e-6

@@ -253,6 +253,8 @@ def default_nof_config() -> Cfg:
             "netdepth": 3,
             "netwidth": 64,
             "start_nerf_keyframes": 5,
+            "ray_pool_reserve_log2": 0,
+            "loop_chunk": 50,
             "max_kf_pool": 128,
             "save_dir": "/tmp/bundlesdf_tpu_nof",
         }

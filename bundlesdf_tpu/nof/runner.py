@@ -527,8 +527,14 @@ class NofRunner:
 
     def _upload_rays(self):
         n = len(self.rays_np)
-        # Fixed-capacity pool, doubling growth => few recompiles.
-        cap = max(1 << 14, 1 << int(math.ceil(math.log2(max(n, 1)))))
+        # Fixed-capacity pool, doubling growth => few recompiles.  A
+        # continual session can reserve the expected final size up front
+        # (cfg ray_pool_reserve, log2) so the whole run compiles the train
+        # program ONCE — each pool-size bucket costs a ~3 min recompile of
+        # the scanned train loop on the tunneled TPU.
+        reserve = 1 << int(self.cfg.get("ray_pool_reserve_log2", 0))
+        cap = max(1 << 14, reserve,
+                  1 << int(math.ceil(math.log2(max(n, 1)))))
         pool = np.zeros((cap, nof_render.RAY_DIM), dtype=np.float32)
         pool[:n] = self.rays_np
         self.rays_dev = jnp.asarray(pool)

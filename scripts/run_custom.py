@@ -40,6 +40,8 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
     cfg_track["debug_dir"] = out_folder
     cfg_nof = default_nof_config()
     cfg_nof["save_dir"] = out_folder
+    # reserve the full-run ray pool: one train-program compile per run
+    cfg_nof["ray_pool_reserve_log2"] = 20
     # config-as-artifact (reference run_custom.py:23-63)
     cfg_track.save(f"{out_folder}/config_track.yml")
     cfg_nof.save(f"{out_folder}/config_nerf.yml")

@@ -366,9 +366,22 @@ class NofRunner:
             ),
         )
         self._train_step, _ = make_train_step(st, self.optimizer)
-        self._train_many = make_train_loop(st, self.optimizer)
         # inner scan length: one device launch per this many steps
         self.loop_chunk = int(cfg.get("loop_chunk", 50))
+        # Multi-chip: dp_devices > 1 shards ray batches (and the hash table)
+        # over a device mesh — the product path for pods (parallel/nof_shard).
+        n_dp = int(cfg.get("dp_devices", 0))
+        if n_dp > 1:
+            from ..parallel import mesh as mesh_mod, nof_shard
+
+            self._mesh = mesh_mod.make_mesh(n_dp)
+            self._train_many = nof_shard.make_dp_train_loop(
+                st, self.optimizer, self._mesh,
+                shard_table=bool(cfg.get("shard_table", True)),
+            )
+        else:
+            self._mesh = None
+            self._train_many = make_train_loop(st, self.optimizer)
 
         self.rays_np = self._build_all_rays(range(self.n_frames))
         self._upload_rays()

@@ -31,7 +31,7 @@ def make_dp_train_step(st: nof_runner.TrainStatics, optimizer, mesh: Mesh,
       * the sampled ray batch is constrained to P('dp') on axis 0;
       * params['table'] is constrained to P('dp') rows when shard_table.
     """
-    base_step_impl = _make_impl(st, optimizer, mesh, shard_table)
+    base_step_impl, _ = _make_impl(st, optimizer, mesh, shard_table)
     table_spec = P("dp") if shard_table else P()  # table is flat 1-D
 
     def place(params, opt_state, rays, grid, c2w):
@@ -90,8 +90,7 @@ def _make_impl(st: nof_runner.TrainStatics, optimizer, mesh: Mesh, shard_table: 
             )
         return loss
 
-    @jax.jit
-    def train_step(params, opt_state, step, key, rays, n_rays, grid, c2w):
+    def step_impl(params, opt_state, step, key, rays, n_rays, grid, c2w):
         if shard_table:
             params = dict(params)
             params["table"] = jax.lax.with_sharding_constraint(
@@ -106,4 +105,32 @@ def _make_impl(st: nof_runner.TrainStatics, optimizer, mesh: Mesh, shard_table: 
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss}
 
-    return train_step
+    return jax.jit(step_impl), step_impl
+
+
+def make_dp_train_loop(st: nof_runner.TrainStatics, optimizer, mesh: Mesh,
+                       shard_table: bool = True):
+    """Multi-step multi-device loop: the dp analogue of
+    nof/runner.make_train_loop (one launch per n_inner steps), with the
+    same (params, opt_state, step0, key, rays, n_rays, grid, c2w, n_inner)
+    signature so NofRunner can swap it in transparently."""
+    _, step_impl = _make_impl_pair(st, optimizer, mesh, shard_table)
+
+    @partial(jax.jit, static_argnames=("n_inner",), donate_argnums=(0, 1))
+    def train_many(params, opt_state, step0, key, rays, n_rays, grid, c2w,
+                   n_inner):
+        def body(carry, i):
+            p, o = carry
+            p, o, m = step_impl(p, o, step0 + i, key, rays, n_rays, grid, c2w)
+            return (p, o), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_inner))
+        return params, opt_state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return train_many
+
+
+def _make_impl_pair(st, optimizer, mesh, shard_table):
+    """(jitted_step, raw_impl) for the dp step."""
+    return _make_impl(st, optimizer, mesh, shard_table)

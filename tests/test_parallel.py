@@ -123,3 +123,28 @@ def test_dp_nof_train_step_runs_and_learns():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_nof_runner_dp_devices_trains():
+    """NofRunner with dp_devices>1 uses the sharded train loop end-to-end
+    (the product multi-chip path, not just the standalone dp step)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from synthetic import make_sphere_dataset
+    from bundlesdf_tpu.config import default_nof_config
+    from bundlesdf_tpu.nof.runner import NofRunner
+
+    data = make_sphere_dataset(n_views=3, H=32, W=32)
+    cfg = default_nof_config()
+    cfg.update({"N_rand": 128, "N_samples": 16, "N_samples_around_depth": 8,
+                "num_levels": 2, "finest_res": 32, "log2_hashmap_size": 14,
+                "octree_smallest_voxel_size": 0.05, "octree_dilate_size": 0.05,
+                "max_kf_pool": 8, "sc_factor": 1.0, "translation": [0.0]*3,
+                "dp_devices": 8, "loop_chunk": 2})
+    runner = NofRunner(cfg, data["images"], data["depths"], data["masks"],
+                       data["poses"], data["K"], data["cloud"])
+    assert runner._mesh is not None
+    m0 = runner.train(4)
+    m1 = runner.train(8)
+    assert np.isfinite(m1["loss"])
+    assert runner.global_step == 12

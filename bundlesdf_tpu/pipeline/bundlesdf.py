@@ -398,6 +398,10 @@ class BundleSdf:
             "n_step": 2000, "N_samples": 64, "N_samples_around_depth": 256,
             "num_levels": 16, "finest_res": 256, "frame_features": 2,
             "rgb_weight": 100.0,
+            # offline steps are ~10x costlier than online; keep a single
+            # scanned launch under ~1 min (the tunneled TPU worker kills
+            # launches that run for many minutes)
+            "loop_chunk": 10,
         })
         n_limit = int(cfg["n_train_image"])
         if len(frames_data) > n_limit:

@@ -71,7 +71,7 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
     print(f"done: {len(tracker.poses_log)} frames -> {out_folder}/ob_in_cam")
 
 
-def run_one_video_global_nerf(out_folder, get_texture=True):
+def run_one_video_global_nerf(out_folder, get_texture=True, refine_steps=None):
     frames = load_tracked_frames(out_folder)
     if not frames:
         raise RuntimeError(f"no tracked frames under {out_folder} (run run_video first)")
@@ -82,7 +82,18 @@ def run_one_video_global_nerf(out_folder, get_texture=True):
     if tracker.K is None:
         h, w = frames[0]["depth"].shape
         tracker.K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
-    mesh, poses = tracker.run_global_nerf(frames, get_texture=get_texture)
+    cfg_refine = None
+    if refine_steps:
+        from bundlesdf_tpu.config import default_nof_config
+
+        cfg_refine = tracker.cfg_nof.merged({
+            "n_step": int(refine_steps), "N_samples": 64,
+            "N_samples_around_depth": 256, "num_levels": 16,
+            "finest_res": 256, "frame_features": 2, "rgb_weight": 100.0,
+            "loop_chunk": 10,
+        })
+    mesh, poses = tracker.run_global_nerf(frames, get_texture=get_texture,
+                                          cfg_refine=cfg_refine)
     if getattr(mesh, "face_uv", None) is not None and getattr(tracker, "texture", None) is not None:
         from bundlesdf_tpu.nof.texture import export_textured_obj
 
@@ -122,6 +133,9 @@ if __name__ == "__main__":
     p.add_argument("--shorter_side", type=int, default=480)
     p.add_argument("--use_gui", action="store_true")
     p.add_argument("--dataset", default="custom", choices=sorted(TRACK_CONFIGS))
+    p.add_argument("--refine_steps", type=int, default=0,
+                   help="override offline n_step (reference 2000); use a "
+                        "few hundred for quick verification runs")
     p.add_argument("--log_compiles", action="store_true",
                    help="log every XLA compilation (compile time dominates "
                         "first-run wall clock; use to hunt shape churn)")
@@ -136,6 +150,6 @@ if __name__ == "__main__":
                       shorter_side=args.shorter_side, use_gui=args.use_gui,
                       dataset=args.dataset)
     elif args.mode == "global_refine":
-        run_one_video_global_nerf(args.out_folder)
+        run_one_video_global_nerf(args.out_folder, refine_steps=args.refine_steps)
     else:
         draw_pose(args.video_dir, args.out_folder)

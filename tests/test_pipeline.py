@@ -109,3 +109,42 @@ def test_dataset_config_variants():
     # variants only override — shared keys stay at ho3d defaults
     assert ycb["bundle"]["max_BA_frames"] == ho3d["bundle"]["max_BA_frames"]
     assert beh["keyframe"]["min_rot"] == ho3d["keyframe"]["min_rot"]
+
+
+def test_run_global_nerf_from_frames():
+    """Offline global refinement (reference run_global_nerf
+    bundlesdf.py:636-766) from saved-frame dicts: trains a fresh NOF with
+    the offline budget shape and returns a cleaned world-frame mesh +
+    refined poses."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import make_sphere_dataset
+    from bundlesdf_tpu.config import default_track_config, default_nof_config
+    from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf, GLCAM_IN_CVCAM
+
+    data = make_sphere_dataset(n_views=4, H=32, W=32)
+    frames = []
+    for i in range(4):
+        cam_in_ob = data["poses"][i] @ np.linalg.inv(GLCAM_IN_CVCAM)
+        frames.append({
+            "color": (data["images"][i] * 255).astype(np.uint8),
+            "depth": data["depths"][i],
+            "mask": (data["masks"][i] > 0).astype(np.uint8) * 255,
+            "cam_in_ob": cam_in_ob,
+        })
+    tracker = BundleSdf(cfg_track=default_track_config(), out_dir="/tmp/gr_test",
+                        use_nof=False)
+    tracker.K = data["K"]
+    cfg_refine = default_nof_config().merged({
+        "n_step": 150, "N_rand": 256, "N_samples": 8, "N_samples_around_depth": 8,
+        "num_levels": 2, "finest_res": 32, "log2_hashmap_size": 14,
+        "frame_features": 2, "octree_smallest_voxel_size": 0.05,
+        "octree_dilate_size": 0.05, "mesh_resolution": 0.04, "loop_chunk": 5,
+    })
+    mesh, poses = tracker.run_global_nerf(frames, cfg_refine=cfg_refine,
+                                          get_texture=False)
+    assert poses.shape == (4, 4, 4)
+    assert len(mesh.vertices) > 0
+    # mesh lives in world scale (sphere radius 0.3 -> extent under ~1 m)
+    ext = mesh.vertices.max(0) - mesh.vertices.min(0)
+    assert np.all(ext < 1.5)

@@ -265,6 +265,11 @@ class BundleSdf:
             self.cfg_nof["sc_factor"] = float(sc)
             self.cfg_nof["translation"] = tr.tolist()
             self._pcd_real = pcd_real
+            if self.save_artifacts:
+                # config-as-artifact with the computed normalization, so
+                # global refine reuses the exact online mapping (reference
+                # reloads the last online nerf config, bundlesdf.py:696-700)
+                self.cfg_nof.save(f"{self.out_dir}/config_nerf.yml")
             pr, pd, pm, poses_n = self._preprocess(rgbs, depths, masks, glcam_in_obs)
             pcd_norm = (self._pcd_real + self.translation) * self.sc_factor
             with span("nof/create_runner"):
@@ -416,13 +421,15 @@ class BundleSdf:
         cam_in_obs = np.stack([f["cam_in_ob"] for f in frames_data])
         glcam_in_obs = cam_in_obs @ GLCAM_IN_CVCAM
 
-        if self.sc_factor is None:
+        if self.sc_factor is None or self._pcd_real is None:
             sc, tr, pcd_real, pcd_norm = sb.compute_scene_bounds(
                 rgbs, depths, masks, self.K, glcam_in_obs,
                 eps=float(cfg["dbscan_eps"]),
                 min_samples=int(cfg["dbscan_eps_min_samples"]),
             )
-            self.sc_factor, self.translation, self._pcd_real = sc, tr, pcd_real
+            if self.sc_factor is None:  # else keep the online normalization
+                self.sc_factor, self.translation = sc, tr
+            self._pcd_real = pcd_real
         cfg["sc_factor"] = float(self.sc_factor)
         cfg["translation"] = np.asarray(self.translation).tolist()
         cfg["max_kf_pool"] = max(int(cfg.get("max_kf_pool", 128)), len(frames_data))

@@ -77,6 +77,18 @@ def run_one_video_global_nerf(out_folder, get_texture=True, refine_steps=None):
         raise RuntimeError(f"no tracked frames under {out_folder} (run run_video first)")
     cfg_track = default_track_config()
     tracker = BundleSdf(cfg_track=cfg_track, out_dir=out_folder, use_nof=False)
+    # reuse the exact online normalization when the tracked run saved it
+    # (config-as-artifact; reference bundlesdf.py:696-700)
+    cfg_path = f"{out_folder}/config_nerf.yml"
+    if os.path.exists(cfg_path):
+        from bundlesdf_tpu.config import Cfg
+
+        saved = Cfg.load(cfg_path)
+        if float(saved.get("sc_factor", 1.0)) != 1.0:
+            tracker.cfg_nof = tracker.cfg_nof.merged(
+                {"sc_factor": saved["sc_factor"], "translation": saved["translation"]})
+            tracker.sc_factor = float(saved["sc_factor"])
+            tracker.translation = np.asarray(saved["translation"])
     K_file = f"{os.path.dirname(out_folder)}/cam_K.txt"
     tracker.K = np.loadtxt(K_file).reshape(3, 3).astype(np.float32) if os.path.exists(K_file) else None
     if tracker.K is None:

@@ -21,3 +21,34 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt-out via BSDF_NO_COMPILE_CACHE).
+
+    The online pipeline's big programs (the scanned NOF train loop, BA,
+    LoFTR) cost minutes of XLA compile on first use; caching them on disk
+    makes every later process launch (global refine reruns, benchmarks,
+    repeat videos) skip straight to execution.  Mirrors how the reference
+    amortizes via long-lived worker processes (bundlesdf.py run_nerf loop) —
+    here the process can be short-lived because the executable is cached.
+    """
+    if _os.environ.get("BSDF_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "bundlesdf_tpu_xla"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

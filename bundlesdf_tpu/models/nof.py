@@ -132,7 +132,7 @@ def nof_forward(
     N, S = pts.shape[:2]
     flat = pts.reshape(-1, 3)
     valid = jnp.all(jnp.abs(flat) <= 1.0, axis=-1).reshape(N, S)
-    emb = hashgrid.hash_encode(flat, params["table"], spec.grid)
+    emb = hashgrid.encode(flat, params["table"], spec.grid)
     emb = jnp.where(valid.reshape(-1, 1), emb, 0.0)  # reference zeroes invalid
     h = _mlp_sigma(params["sigma"], emb)  # (N*S, 1+g)
     sdf = h[:, :1]
@@ -152,6 +152,6 @@ def nof_forward(
 def nof_sdf(params: dict, spec: NofSpec, pts: jnp.ndarray) -> jnp.ndarray:
     """SDF-only query for mesh extraction (reference forward_sdf /
     run_network_density nerf_runner.py:1306-1346).  pts: (N, 3) -> (N,)."""
-    emb = hashgrid.hash_encode(pts, params["table"], spec.grid)
+    emb = hashgrid.encode(pts, params["table"], spec.grid)
     h = _mlp_sigma(params["sigma"], emb)
     return h[:, 0]

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -29,6 +30,12 @@ class LossWeights(NamedTuple):
     near: float = 0.1
     far: float = 2.0
     sc_factor: float = 1.0
+    # Optional terms, 0 by default like the reference (config.yml); the
+    # reference's tv_loss_weight is config-only — parsed but never applied
+    # (nerf_runner.py:115 is its only occurrence) — so it has no equivalent.
+    depth_weight: float = 0.0
+    fs_rgb_weight: float = 0.0
+    eikonal_weight: float = 0.0
 
 
 def sdf_masks(z_vals, target_d, truncation, w: LossWeights):
@@ -69,6 +76,37 @@ def sdf_losses(z_vals, target_d, sdf, truncation, sample_weights, w: LossWeights
         * sdf_weight_i
     )
     return fs_loss, sdf_loss
+
+
+def depth_loss(z_vals, sdf, target_d, ray_w, w: LossWeights):
+    """First-zero-crossing rendered depth vs measured depth (reference
+    nerf_runner.py:709-719): z at the first sign change of the SDF along
+    the ray, squared error on rays that (a) have a crossing and (b) carry
+    valid depth."""
+    signs = sdf[:, 1:] * sdf[:, :-1]
+    crossing = signs < 0
+    inds = jnp.argmax(crossing.astype(jnp.float32), axis=1)
+    z_min = jnp.take_along_axis(z_vals, inds[:, None], axis=1)[:, 0]
+    wt = (
+        ray_w
+        * (target_d <= w.far * w.sc_factor).astype(z_vals.dtype)
+        * crossing.any(axis=-1).astype(z_vals.dtype)
+    )
+    return jnp.mean((z_min * wt - target_d * wt) ** 2)
+
+
+def fs_rgb_loss(rgb_logits, front_mask, sample_weights):
+    """Push free-space color to white (reference nerf_runner.py:728-731)."""
+    err = (jax.nn.sigmoid(rgb_logits) - 1.0) * front_mask[..., None]
+    return jnp.mean(err**2 * sample_weights[..., None])
+
+
+def eikonal_loss(normals, sdf):
+    """(|grad sdf| - 1)^2 over near-surface samples (reference
+    nerf_runner.py:733-736: masked mean over sdf < 1)."""
+    mask = (sdf < 1.0).astype(normals.dtype)
+    err = (jnp.linalg.norm(normals, axis=-1) - 1.0) ** 2 * mask
+    return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def truncation_value(step, n_step, trunc, trunc_start, sc_factor, decay_type: str = ""):

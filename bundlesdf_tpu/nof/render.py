@@ -182,6 +182,7 @@ def render_rays(
         "z_vals": z_vals,
         "valid_samples": valid_samples,
         "weights": weights,
+        "pts": pts_w,  # object-frame sample points (for eikonal loss)
     }
 
 

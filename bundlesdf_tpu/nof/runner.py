@@ -170,6 +170,31 @@ def make_train_step(st: TrainStatics, optimizer):
         loss = loss + fs_loss + sdf_loss
 
         metrics = {"rgb_loss": rgb_loss, "fs_loss": fs_loss, "sdf_loss": sdf_loss}
+        # Optional terms (0-weight by default, parity with the reference's
+        # depth/fs_rgb/eikonal branches nerf_runner.py:709-736).
+        if st.weights.depth_weight > 0:
+            dl = st.weights.depth_weight * nof_losses.depth_loss(
+                z_vals, sdf, target_d, ray_w, st.weights
+            )
+            loss = loss + dl
+            metrics["depth_loss"] = dl
+        if st.weights.fs_rgb_weight > 0:
+            front, _ = nof_losses.sdf_masks(
+                z_vals, target_d[:, None], truncation, st.weights
+            )
+            fr = st.weights.fs_rgb_weight * nof_losses.fs_rgb_loss(
+                out["raw"][..., :3], front.astype(jnp.float32), sample_w
+            )
+            loss = loss + fr
+            metrics["fs_rgb_loss"] = fr
+        if st.weights.eikonal_weight > 0:
+            pts_flat = out["pts"].reshape(-1, 3)
+            normals = jax.grad(
+                lambda p: jnp.sum(nof_model.nof_sdf(params, st.spec, p))
+            )(pts_flat).reshape(sdf.shape + (3,))
+            ek = st.weights.eikonal_weight * nof_losses.eikonal_loss(normals, sdf)
+            loss = loss + ek
+            metrics["eikonal_loss"] = ek
         if st.spec.frame_features > 0:
             reg = st.weights.feature_reg_weight * jnp.mean(params["feature_array"] ** 2)
             loss = loss + reg
@@ -292,6 +317,7 @@ class NofRunner:
             base_res=int(cfg["base_res"]),
             finest_res=int(cfg["finest_res"]),
             log2_hashmap_size=int(cfg["log2_hashmap_size"]),
+            layout=str(cfg.get("hash_layout", "cell")),
         )
         self.spec = nof_model.NofSpec(
             grid=grid_spec,
@@ -336,6 +362,9 @@ class NofRunner:
             near=float(cfg["near"]),
             far=float(cfg["far"]),
             sc_factor=sc,
+            depth_weight=float(cfg.get("depth_weight", 0.0)),
+            fs_rgb_weight=float(cfg.get("fs_rgb_weight", 0.0)),
+            eikonal_weight=float(cfg.get("eikonal_weight", 0.0)),
         )
 
         self.build_occupancy(build_octree_pts)

@@ -83,50 +83,53 @@ def _triangle_atlas(n_faces: int, tex_size: int, cell: int):
     """Trivial per-face UV atlas: two right triangles per cell x cell texel
     square (replaces xatlas unwrap — lower quality seams, zero deps).
 
+    Vectorized over faces: both triangle parities have translation-invariant
+    texel masks and barycentrics, so they are computed once per parity and
+    broadcast-scattered for all faces at that parity.
+
     Returns (uv (n_faces, 3, 2) in [0,1], texel tables:
     face_of_texel (T, T) int32 -1, bary_of_texel (T, T, 3))."""
     cols = tex_size // cell
     pad = 1  # interior padding in texels to avoid bleeding
-    uv = np.zeros((n_faces, 3, 2), np.float64)
+    f = np.arange(n_faces)
+    cidx = f // 2
+    r, c = cidx // cols, cidx % cols
+    if n_faces and (r.max() + 1) * cell > tex_size:
+        raise ValueError(
+            f"atlas overflow: {n_faces} faces need cell {cell} cols {cols}"
+        )
+    x0, y0 = c * cell, r * cell
+
+    # local corners per parity (lower-left / upper-right right triangle)
+    lo = np.array([[pad, pad], [cell - 1 - pad, pad],
+                   [pad, cell - 1 - pad]], np.float64)
+    hi = np.array([[cell - 1 - pad, cell - 1 - pad], [pad, cell - 1 - pad],
+                   [cell - 1 - pad, pad]], np.float64)
+    even = (f % 2 == 0)
+    corners = np.where(even[:, None, None], lo[None], hi[None])
+    uv = (corners + np.stack([x0, y0], -1)[:, None, :]) / tex_size
+
     face_of = np.full((tex_size, tex_size), -1, np.int32)
     bary_of = np.zeros((tex_size, tex_size, 3), np.float32)
-
     jj, ii = np.meshgrid(np.arange(cell), np.arange(cell), indexing="ij")
-    lower = ii + jj <= cell - 1  # lower-left triangle mask of the cell
+    lower = ii + jj <= cell - 1
 
-    for f in range(n_faces):
-        cidx = f // 2
-        r, c = divmod(cidx, cols)
-        if (r + 1) * cell > tex_size:
-            raise ValueError(
-                f"atlas overflow: {n_faces} faces need cell {cell} cols {cols}"
-            )
-        x0, y0 = c * cell, r * cell
-        if f % 2 == 0:  # lower-left triangle: corners (0,0), (1,0), (0,1)
-            corners = np.array([[x0 + pad, y0 + pad],
-                                [x0 + cell - 1 - pad, y0 + pad],
-                                [x0 + pad, y0 + cell - 1 - pad]], np.float64)
-            m = lower
-        else:           # upper-right triangle: corners (1,1), (0,1), (1,0)
-            corners = np.array([[x0 + cell - 1 - pad, y0 + cell - 1 - pad],
-                                [x0 + pad, y0 + cell - 1 - pad],
-                                [x0 + cell - 1 - pad, y0 + pad]], np.float64)
-            m = ~lower
-        uv[f] = corners / tex_size
-        # barycentric of each covered texel wrt the corner triangle
+    for parity, m, crn in ((0, lower, lo), (1, ~lower, hi)):
         ys, xs = np.nonzero(m)
-        px = x0 + xs + 0.0
-        py = y0 + ys + 0.0
-        ax, ay = corners[0]; bx, by = corners[1]; cx, cy = corners[2]
+        px, py = xs + 0.0, ys + 0.0
+        ax, ay = crn[0]; bx, by = crn[1]; cx, cy = crn[2]
         d = (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
         w0 = ((bx - px) * (cy - py) - (cx - px) * (by - py)) / d
         w1 = ((cx - px) * (ay - py) - (ax - px) * (cy - py)) / d
         w2 = 1.0 - w0 - w1
         keep = (w0 > -0.3) & (w1 > -0.3) & (w2 > -0.3)
         w = np.clip(np.stack([w0, w1, w2], -1), 0, None)
-        w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)
-        face_of[y0 + ys[keep], x0 + xs[keep]] = f
-        bary_of[y0 + ys[keep], x0 + xs[keep]] = w[keep]
+        w = (w / np.maximum(w.sum(-1, keepdims=True), 1e-9))[keep]
+        fp = f[f % 2 == parity]
+        Ys = y0[fp][:, None] + ys[keep][None, :]
+        Xs = x0[fp][:, None] + xs[keep][None, :]
+        face_of[Ys, Xs] = fp[:, None]
+        bary_of[Ys, Xs] = w[None, :].astype(np.float32)
     return uv, face_of, bary_of
 
 
@@ -154,6 +157,12 @@ def bake_texture_from_train_images(
     F = len(mesh.faces)
     cell = max(4, int(np.floor(tex_size / np.ceil(np.sqrt(np.ceil(F / 2))))))
     cell = min(cell, 64)
+    # Auto-grow the atlas when even the minimum cell can't fit every face
+    # (the reference's xatlas repacks at whatever resolution it's given; a
+    # dense global-refine mesh can exceed 2 faces/16 texels at 1024²).
+    need_cols = int(np.ceil(np.sqrt(np.ceil(F / 2))))
+    if (tex_size // cell) < need_cols:
+        tex_size = cell * need_cols
     uv, face_of, bary_of = _triangle_atlas(F, tex_size, cell)
 
     ys, xs = np.nonzero(face_of >= 0)

@@ -38,6 +38,11 @@ class HashGridSpec(NamedTuple):
     base_res: int
     finest_res: int
     log2_hashmap_size: int
+    # "exact": per-corner element gathers (the straightforward path).
+    # "cell":  corner-duplicated cell-cache fast path for DENSE levels
+    #          (hash_encode_cell) — same f32 math, ~8x fewer random
+    #          accesses; hashed levels fall back to the element path.
+    layout: str = "exact"
 
     @property
     def per_level_scale(self) -> float:
@@ -92,13 +97,17 @@ def init_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jnp.nda
 def _corner_index(grid_xyz, res: int, size: int, dense: bool):
     """Map integer corner coords (..., 3) -> table row index."""
     if dense:
+        # Row-major dense index; always < (res+1)^3 <= size (level_params
+        # only marks a level dense when the full cube fits), so no modulo —
+        # integer mod by a non-power-of-2 costs real VPU cycles at 12.6M
+        # corner indexings per train step.
         stride = res + 1
         idx = (
             grid_xyz[..., 0] * (stride * stride)
             + grid_xyz[..., 1] * stride
             + grid_xyz[..., 2]
         )
-        return idx.astype(jnp.uint32) % jnp.uint32(size)
+        return idx.astype(jnp.uint32)
     g = grid_xyz.astype(jnp.uint32)
     h = (
         (g[..., 0] * jnp.uint32(_PRIMES[0]))
@@ -196,10 +205,12 @@ def _hash_encode_bwd(spec, res, g):
                  sel[:, 0] * sel[:, 1]], axis=-1)  # (N, 3)
             dx01 = dx01 + (gdotrow[:, None] * sign * prod_others) * p["scale"]
     # ONE flat 1-D scatter-add, cotangent already in the param's shape —
-    # no reshape, no padded temps
+    # no reshape, no padded temps.  Indices are in bounds by construction
+    # (dense row-major < size; hashed % size), so promise_in_bounds skips
+    # XLA's clamp/select per element (measured 23.6 -> 17.3 ns/elem).
     d_table = jnp.zeros_like(table).at[
         jnp.concatenate(flat_idx_parts)
-    ].add(jnp.concatenate(contrib_parts))
+    ].add(jnp.concatenate(contrib_parts), mode="promise_in_bounds")
     # chain through x01 = clip((x+1)/2): derivative 0.5 inside, 0 at clip
     inside = (jnp.abs(x) <= 1.0).astype(x.dtype)
     dx = dx01 * 0.5 * inside
@@ -207,3 +218,231 @@ def _hash_encode_bwd(spec, res, g):
 
 
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cell-cache fast path ("cell" layout).
+#
+# The NOF train step is ~100% random hash-table traffic at the online budget
+# (BASELINE.md): the exact path issues 25.2M element gathers forward
+# (8 corners x 4 levels x 2 channels x 393K pts), re-gathers 25.2M in the
+# backward for the coordinate cotangent, and scatter-adds 25.2M — and XLA
+# charges per random access (~6-7 ns each), so COUNT is everything.
+#
+# For a DENSE level the corner index is row-major, so the 8 corners of every
+# cell are eight SHIFTED SLICES of the level's (S,S,S,C) table view.  That
+# makes a corner-duplicated cache buildable with pure dense copies:
+#
+#     cache[cell(x,y,z), corner c, ch] = table[(x+dx)*S^2+(y+dy)*S+(z+dz), ch]
+#
+# and the per-point work collapses to ONE 16-wide row gather per level
+# (1.57M rows/step vs 25.2M elements) and, in the VJP, ONE 16-wide row
+# scatter-add into a cache-shaped gradient, which reduces back to the table
+# gradient with 8 dense shifted adds.  Measured on the v5e chip
+# (scripts/microbench_gather4.py, in-situ shapes): row gather 19.9 ms vs
+# 144.1 ms element equivalent; row scatter 47.6 ms vs 69.6 ms; cache build
+# 6.5 ms; grad reduce 16.1 ms.  Math is EXACT f32 (identical contraction
+# order to hash_encode) — this replaces an earlier bf16-packed experiment
+# that measured slower (212 ms fwd vs 78 ms).
+#
+# Hashed (non-dense) levels have no slice structure and keep the element
+# path; a level mix (offline budget: ~10 dense + 6 hashed of 16) composes
+# both inside one encode.
+#
+# Reference parity: same trilinear scheme as gridencoder.cu:155-190; the
+# corner-duplicated cache is our TPU answer to its per-thread gather loop.
+# ---------------------------------------------------------------------------
+
+
+def _level_views(table, spec: HashGridSpec):
+    """Split the flat table into per-level flat (size*C,) views."""
+    C = spec.level_dim
+    views = []
+    for p in spec.level_params():
+        views.append(
+            jax.lax.slice(table, (p["offset"] * C,),
+                          ((p["offset"] + p["size"]) * C,)))
+    return views
+
+
+def _build_cell_cache(level_table, p, C: int):
+    """Dense level (size*C,) flat view -> (res^3, 8*C) corner cache.
+
+    Pure dense slicing — no random access.  Corner order matches _CORNERS;
+    channels minor: column c*C+ch.  Everything is CHANNEL-SPLIT 3-D
+    internally: a (..., C) temp with C=2 minor would lane-pad 2 -> 128
+    (64x traffic) on TPU, so per-channel (S,S,S) cubes (minor ~= 128) are
+    sliced and a single stack builds the (R^3, 16) cache at the end."""
+    S = p["res"] + 1
+    R = p["res"]
+    cols = []
+    for c in _CORNERS:
+        for ch in range(C):
+            t3 = jnp.reshape(
+                jax.lax.slice(level_table, (ch,), (S * S * S * C,), (C,)),
+                (S, S, S))
+            sl = jax.lax.slice(t3, (int(c[0]), int(c[1]), int(c[2])),
+                               (int(c[0]) + R, int(c[1]) + R, int(c[2]) + R))
+            cols.append(sl.reshape(R * R * R))
+    return jnp.stack(cols, axis=-1)  # (R^3, 8*C)
+
+
+def _reduce_cell_cache_grad(d_cache, p, C: int):
+    """(res^3, 8*C) cache cotangent -> flat (size*C,) table cotangent via 8
+    dense shifted adds (the transpose of _build_cell_cache).  Channel-split
+    3-D accumulators for the same lane-padding reason as the build."""
+    S = p["res"] + 1
+    R = p["res"]
+    acc = []
+    for ch in range(C):
+        a3 = jnp.zeros((S, S, S), d_cache.dtype)
+        for ci, c in enumerate(_CORNERS):
+            col = d_cache[:, ci * C + ch].reshape(R, R, R)
+            start = (int(c[0]), int(c[1]), int(c[2]))
+            cur = jax.lax.dynamic_slice(a3, start, (R, R, R))
+            a3 = jax.lax.dynamic_update_slice(a3, cur + col, start)
+        acc.append(a3.reshape(-1))
+    flat = jnp.stack(acc, axis=-1).reshape(-1)  # interleave channels
+    if S * S * S < p["size"]:
+        flat = jnp.pad(flat, (0, (p["size"] - S * S * S) * C))
+    return flat
+
+
+def _cell_rows(x01, cache, p, C: int):
+    """Gather each point's (8*C,) corner row + return frac weights."""
+    R = p["res"]
+    pos = x01 * p["scale"] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pg = pos_grid.astype(jnp.int32)
+    cell = pg[..., 0] * (R * R) + pg[..., 1] * R + pg[..., 2]
+    # ONE (N, 8*C) row gather, then transpose to (8*C, N): the gather's
+    # output is unavoidably lane-padded 16 -> 128, but everything that
+    # LIVES on (residuals, the trilinear operand slices) is the transposed
+    # unpadded form.
+    rows = cache[cell].T
+    return rows, frac, cell
+
+
+def _hashed_rows(x01, level_table, p, C: int):
+    """Element-gather fallback for hashed levels, shaped like _cell_rows."""
+    pos = x01 * p["scale"] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pg = pos_grid.astype(jnp.int32)
+    cols = []
+    for c in _CORNERS:
+        idx = _corner_index(pg + c[None], p["res"], p["size"], p["dense"])
+        base = idx.astype(jnp.int32) * C
+        for ch in range(C):
+            cols.append(level_table[base + ch])
+    return jnp.stack(cols, axis=0), frac, None  # (8*C, N)
+
+
+def _corner_weight(frac, c):
+    return jnp.prod(jnp.where(c[None].astype(bool), frac, 1.0 - frac), axis=-1)
+
+
+def _encode_cell_impl(x, table, spec: HashGridSpec):
+    """Forward for the "cell" layout.  Returns (out, per-level rows)."""
+    C = spec.level_dim
+    x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+    views = _level_views(table, spec)
+    cols = []
+    rows_all = []
+    for p, view in zip(spec.level_params(), views):
+        if p["dense"]:
+            cache = _build_cell_cache(view, p, C)
+            rows, frac, _ = _cell_rows(x01, cache, p, C)
+        else:
+            rows, frac, _ = _hashed_rows(x01, view, p, C)
+        rows_all.append(rows)
+        acc = [None] * C
+        for ci, c in enumerate(_CORNERS):
+            w = _corner_weight(frac, c)
+            for ch in range(C):
+                term = rows[ci * C + ch] * w
+                acc[ch] = term if acc[ch] is None else acc[ch] + term
+        cols.extend(acc)
+    return jnp.stack(cols, axis=-1), tuple(rows_all)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_cell(
+    x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec
+) -> jnp.ndarray:
+    """Cell-cache variant of hash_encode — identical contract and f32 math,
+    ~8x fewer random HBM accesses on dense levels (see module comment)."""
+    return _encode_cell_impl(x, table, spec)[0]
+
+
+def _hash_encode_cell_fwd(x, table, spec):
+    out, rows_all = _encode_cell_impl(x, table, spec)
+    # rows are saved as residuals ((8*C, N) transposed = unpadded): the
+    # backward streams them back instead of re-issuing the random gathers
+    # (the exact path's second 25.2M loads).
+    return out, (x, rows_all)
+
+
+def _hash_encode_cell_bwd(spec, res, g):
+    x, rows_all = res
+    C = spec.level_dim
+    x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+    dx01 = jnp.zeros_like(x)
+    d_levels = []
+    for li, p in enumerate(spec.level_params()):
+        rows = rows_all[li]
+        g_cols = [g[:, li * C + ch] for ch in range(C)]
+        pos = x01 * p["scale"] + 0.5
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        pg = pos_grid.astype(jnp.int32)
+        # d_rows columns + coordinate cotangent in one corner unroll
+        d_cols = []
+        for ci, c in enumerate(_CORNERS):
+            sel = jnp.where(c[None].astype(bool), frac, 1.0 - frac)
+            w = jnp.prod(sel, axis=-1)
+            gdotrow = None
+            for ch in range(C):
+                d_cols.append(w * g_cols[ch])
+                t = g_cols[ch] * rows[ci * C + ch]
+                gdotrow = t if gdotrow is None else gdotrow + t
+            sign = jnp.where(c[None].astype(bool), 1.0, -1.0)
+            prod_others = jnp.stack(
+                [sel[:, 1] * sel[:, 2], sel[:, 0] * sel[:, 2],
+                 sel[:, 0] * sel[:, 1]], axis=-1)
+            dx01 = dx01 + (gdotrow[:, None] * sign * prod_others) * p["scale"]
+        if p["dense"]:
+            R = p["res"]
+            cell = pg[..., 0] * (R * R) + pg[..., 1] * R + pg[..., 2]
+            d_rows = jnp.stack(d_cols, axis=-1)  # (N, 8*C) scatter operand
+            d_cache = jnp.zeros((R * R * R, 8 * C), d_rows.dtype).at[cell].add(
+                d_rows, mode="promise_in_bounds")  # ONE row scatter-add
+            d_levels.append(_reduce_cell_cache_grad(d_cache, p, C))
+        else:
+            flat_idx = []
+            contrib = []
+            for ci, c in enumerate(_CORNERS):
+                idx = _corner_index(pg + c[None], p["res"], p["size"], p["dense"])
+                base = idx.astype(jnp.int32) * C
+                for ch in range(C):
+                    flat_idx.append(base + ch)
+                    contrib.append(d_cols[ci * C + ch])
+            d_levels.append(
+                jnp.zeros((p["size"] * C,), d_cols[0].dtype).at[
+                    jnp.concatenate(flat_idx)
+                ].add(jnp.concatenate(contrib), mode="promise_in_bounds"))
+    d_table = jnp.concatenate(d_levels)
+    inside = (jnp.abs(x) <= 1.0).astype(x.dtype)
+    dx = dx01 * 0.5 * inside
+    return dx, d_table
+
+
+hash_encode_cell.defvjp(_hash_encode_cell_fwd, _hash_encode_cell_bwd)
+
+
+def encode(x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """Dispatch on spec.layout (static) — the single entry point callers use."""
+    if spec.layout == "cell":
+        return hash_encode_cell(x, table, spec)
+    return hash_encode(x, table, spec)

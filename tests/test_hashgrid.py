@@ -92,6 +92,81 @@ def test_sh_degree4():
     assert out.shape == (5, 16)
 
 
+def test_cell_encode_matches_exact_bitwise():
+    """hash_encode_cell (corner-duplicated cell cache on dense levels, 16-wide
+    row gathers) performs the exact same f32 contraction as hash_encode —
+    outputs must match bitwise.  log2=15 makes the finest level hashed, so
+    the dense+hashed mixed path is exercised."""
+    spec = hashgrid.HashGridSpec(4, 2, 16, 128, 15)
+    cspec = spec._replace(layout="cell")
+    tab = hashgrid.init_table(jax.random.PRNGKey(0), spec) * 1000
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-1.1, maxval=1.1)
+
+    exact = np.asarray(hashgrid.hash_encode(x, tab, spec))
+    cell = np.asarray(hashgrid.hash_encode_cell(x, tab, cspec))
+    np.testing.assert_array_equal(cell, exact)
+
+
+def test_cell_vjp_matches_exact():
+    spec = hashgrid.HashGridSpec(4, 2, 16, 128, 15)
+    cspec = spec._replace(layout="cell")
+    tab = hashgrid.init_table(jax.random.PRNGKey(0), spec) * 1000
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-1.1, maxval=1.1)
+
+    loss_c = lambda x, t: jnp.sum(jnp.sin(hashgrid.hash_encode_cell(x, t, cspec)))
+    loss_e = lambda x, t: jnp.sum(jnp.sin(hashgrid.hash_encode(x, t, spec)))
+    gc = jax.grad(loss_c, argnums=(0, 1))(x, tab)
+    ge = jax.grad(loss_e, argnums=(0, 1))(x, tab)
+    for a, b in zip(gc, ge):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, rtol=0, atol=scale * 1e-6)
+    # clipped dims still get exactly zero coordinate grad
+    out_dims = np.abs(np.asarray(x)) > 1.0
+    assert np.all(np.asarray(gc[0])[out_dims] == 0.0)
+
+
+def test_cell_cache_build_reduce_are_transposes():
+    """_reduce_cell_cache_grad must be the exact transpose of
+    _build_cell_cache: <build(t), d> == <t, reduce(d)> for random t, d."""
+    spec = hashgrid.HashGridSpec(1, 2, 8, 8, 19)
+    p = spec.level_params()[0]
+    assert p["dense"]
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.standard_normal(p["size"] * 2).astype(np.float32))
+    cache = hashgrid._build_cell_cache(t, p, 2)
+    d = jnp.asarray(rng.standard_normal(cache.shape).astype(np.float32))
+    lhs = float(jnp.vdot(cache, d))
+    rhs = float(jnp.vdot(t, hashgrid._reduce_cell_cache_grad(d, p, 2)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_cell_vjp_all_levels_hashed():
+    """Regression: the hashed fallback inside the cell layout must work even
+    when the FIRST level is hashed (log2=10 < every level's dense size) —
+    an earlier version referenced a dense-branch local there."""
+    spec = hashgrid.HashGridSpec(2, 2, 32, 64, 10)
+    cspec = spec._replace(layout="cell")
+    assert not any(p["dense"] for p in spec.level_params())
+    tab = hashgrid.init_table(jax.random.PRNGKey(0), spec) * 1000
+    x = jax.random.uniform(jax.random.PRNGKey(1), (65, 3), minval=-1, maxval=1)
+    gc = jax.grad(lambda x, t: jnp.sum(jnp.sin(hashgrid.hash_encode_cell(x, t, cspec))),
+                  argnums=(0, 1))(x, tab)
+    ge = jax.grad(lambda x, t: jnp.sum(jnp.sin(hashgrid.hash_encode(x, t, spec))),
+                  argnums=(0, 1))(x, tab)
+    for a, b in zip(gc, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_encode_dispatch_uses_layout():
+    spec = hashgrid.HashGridSpec(1, 2, 4, 4, 19, layout="cell")
+    tab = jnp.array(np.random.randn(spec.total_entries * 2).astype(np.float32))
+    x = jnp.array([[0.1, 0.2, 0.3]], dtype=jnp.float32)
+    via_dispatch = np.asarray(hashgrid.encode(x, tab, spec))
+    via_cell = np.asarray(hashgrid.hash_encode_cell(x, tab, spec))
+    np.testing.assert_array_equal(via_dispatch, via_cell)
+
+
 def test_custom_vjp_matches_autodiff():
     """hash_encode's flat-scatter custom VJP (TPU lane-padding fix) must
     match plain autodiff of the forward impl for both cotangents."""

@@ -89,6 +89,78 @@ def test_sdf_losses_closed_form():
     assert float(sdf_l2) > float(sdf_l)
 
 
+def test_optional_losses_closed_form():
+    w = nof_losses.LossWeights(sc_factor=1.0, near=0.1, far=2.0)
+    z = jnp.array([[0.5, 0.9, 1.1, 1.5]])
+    d = jnp.array([1.0])
+    ray_w = jnp.ones((1,))
+    # sdf crosses zero between samples 1 and 2 -> z_min = z[2] = 1.1
+    sdf = jnp.array([[1.0, 0.5, -0.5, -1.0]])
+    dl = float(nof_losses.depth_loss(z, sdf, d, ray_w, w))
+    np.testing.assert_allclose(dl, (1.1 - 1.0) ** 2, atol=1e-6)
+    # no crossing -> zero
+    dl0 = float(nof_losses.depth_loss(z, jnp.ones_like(sdf), d, ray_w, w))
+    assert dl0 == 0.0
+
+    # fs_rgb: logits -> sigmoid == 1 gives zero loss; big negative logits max it
+    front = jnp.ones((1, 4))
+    sw = jnp.ones((1, 4))
+    hi = jnp.full((1, 4, 3), 20.0)
+    lo = jnp.full((1, 4, 3), -20.0)
+    assert float(nof_losses.fs_rgb_loss(hi, front, sw)) < 1e-6
+    assert float(nof_losses.fs_rgb_loss(lo, front, sw)) > 0.9
+
+    # eikonal: unit normals -> 0; doubled normals -> 1
+    n_unit = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (1, 4, 1))
+    assert float(nof_losses.eikonal_loss(n_unit, sdf)) < 1e-10
+    np.testing.assert_allclose(
+        float(nof_losses.eikonal_loss(2 * n_unit, sdf)), 1.0, atol=1e-6
+    )
+
+
+def test_train_step_with_optional_losses_runs():
+    """The jitted train step with depth/fs_rgb/eikonal weights on must
+    produce finite losses and report their metrics."""
+    import optax
+    from bundlesdf_tpu.nof import runner as nof_runner
+
+    spec = small_spec()
+    rcfg = nof_render.RenderCfg(n_samples=16, n_samples_around_depth=8,
+                                n_march=64, sc_factor=1.0)
+    weights = nof_losses.LossWeights(
+        sc_factor=1.0, depth_weight=1.0, fs_rgb_weight=0.5, eikonal_weight=0.1
+    )
+    params = nof_model.init_nof_params(jax.random.PRNGKey(0), spec)
+    st = nof_runner.TrainStatics(
+        spec=spec, rcfg=rcfg, weights=weights, n_rand=64, n_step=10,
+        trunc=0.05, trunc_start=0.05, trunc_decay_type="", sc_factor=1.0,
+    )
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step_fn, _ = nof_runner.make_train_step(st, optimizer)
+
+    rng = np.random.default_rng(0)
+    rays = np.zeros((64, nof_render.RAY_DIM), dtype=np.float32)
+    rays[:, 0:2] = rng.uniform(-0.2, 0.2, (64, 2))
+    rays[:, 2] = -1.0
+    rays[:, 3:6] = rng.uniform(0, 1, (64, 3))
+    rays[:, 6] = rng.uniform(0.8, 1.2, 64)
+    rays[:, 7] = 1.0
+    rays[:, 10] = 0.3
+    rays[:, 11] = 1.8
+    c2w = np.broadcast_to(np.eye(4, dtype=np.float32), (8, 4, 4)).copy()
+    c2w[:, 2, 3] = 1.0
+    grid = jnp.ones((8, 8, 8), dtype=bool)
+
+    params2, opt2, metrics = step_fn(
+        params, opt_state, 0, jax.random.PRNGKey(1), jnp.asarray(rays),
+        jnp.int32(64), grid, jnp.asarray(c2w)
+    )
+    for k in ("depth_loss", "fs_rgb_loss", "eikonal_loss", "loss"):
+        assert k in metrics, k
+        assert np.isfinite(float(metrics[k])), k
+
+
 def test_sdf2weights_band_and_normalization():
     cfg = nof_render.RenderCfg(sc_factor=1.0, far=2.0)
     z = jnp.linspace(0.5, 1.5, 64)[None]

@@ -91,3 +91,25 @@ def test_bake_texture_red_camera_view(tmp_path):
     assert os.path.exists(tmp_path / "m.png")
     txt = open(tmp_path / "m.obj").read()
     assert "vt " in txt and "mtllib" in txt
+
+
+def test_triangle_atlas_auto_grows_for_dense_mesh():
+    """Regression: a global-refine mesh can exceed the fixed-1024 atlas
+    capacity (218K faces crashed the verify run) — the bake must auto-grow
+    the texture instead of raising."""
+    import numpy as np
+    from bundlesdf_tpu.nof import texture as tex_mod
+
+    F = 218076
+    cell = 4
+    need_cols = int(np.ceil(np.sqrt(np.ceil(F / 2))))
+    tex_size = cell * need_cols
+    uv, face_of, bary_of = tex_mod._triangle_atlas(F, tex_size, cell)
+    assert uv.shape == (F, 3, 2)
+    assert uv.min() >= 0 and uv.max() <= 1
+    covered = np.unique(face_of)
+    # every face owns at least one texel
+    assert len(covered) == F + 1  # F faces + the -1 background
+    # barycentrics are normalized where a face is assigned
+    w = bary_of[face_of >= 0]
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)

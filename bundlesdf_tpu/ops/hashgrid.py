@@ -308,58 +308,98 @@ def _reduce_cell_cache_grad(d_cache, p, C: int):
     return flat
 
 
-def _cell_rows(x01, cache, p, C: int):
-    """Gather each point's (8*C,) corner row + return frac weights."""
+def _axes01(x):
+    """Split x in [-1,1]^3 into per-axis (N,) [0,1] coords.
+
+    EVERYTHING elementwise in the cell path runs on (N,) vectors: an
+    (N, 3) f32 temp lane-pads 3 -> 128 on TPU (201 MB per temp at the
+    online budget's N = 393K), so the trilinear math is channel-split
+    per axis.  Same f32 contraction order as the fused (N, 3) form."""
+    return tuple(
+        jnp.clip((x[:, k] + 1.0) * 0.5, 0.0, 1.0) for k in range(3)
+    )
+
+
+def _level_fracs(axes, p):
+    """Per-axis (pos_grid:int32, frac) for one level — all (N,) vectors."""
+    pgs, fracs = [], []
+    for a in axes:
+        pos = a * p["scale"] + 0.5
+        pos_grid = jnp.floor(pos)
+        pgs.append(pos_grid.astype(jnp.int32))
+        fracs.append(pos - pos_grid)
+    return pgs, fracs
+
+
+def _corner_index_axes(gx, gy, gz, res: int, size: int, dense: bool):
+    """Per-axis variant of _corner_index ((N,) int32 inputs)."""
+    if dense:
+        stride = res + 1
+        return (gx * (stride * stride) + gy * stride + gz).astype(jnp.uint32)
+    h = (
+        (gx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
+        ^ (gy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+        ^ (gz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+    )
+    return h % jnp.uint32(size)
+
+
+def _cell_of(pgs, R: int):
+    return pgs[0] * (R * R) + pgs[1] * R + pgs[2]
+
+
+def _cell_rows(axes, cache, p, C: int):
+    """Gather each point's (8*C,) corner row + return per-axis fracs."""
     R = p["res"]
-    pos = x01 * p["scale"] + 0.5
-    pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid
-    pg = pos_grid.astype(jnp.int32)
-    cell = pg[..., 0] * (R * R) + pg[..., 1] * R + pg[..., 2]
+    pgs, fracs = _level_fracs(axes, p)
+    cell = _cell_of(pgs, R)
     # ONE (N, 8*C) row gather, then transpose to (8*C, N): the gather's
     # output is unavoidably lane-padded 16 -> 128, but everything that
     # LIVES on (residuals, the trilinear operand slices) is the transposed
     # unpadded form.
     rows = cache[cell].T
-    return rows, frac, cell
+    return rows, fracs, cell
 
 
-def _hashed_rows(x01, level_table, p, C: int):
+def _hashed_rows(axes, level_table, p, C: int):
     """Element-gather fallback for hashed levels, shaped like _cell_rows."""
-    pos = x01 * p["scale"] + 0.5
-    pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid
-    pg = pos_grid.astype(jnp.int32)
+    pgs, fracs = _level_fracs(axes, p)
     cols = []
     for c in _CORNERS:
-        idx = _corner_index(pg + c[None], p["res"], p["size"], p["dense"])
+        idx = _corner_index_axes(
+            pgs[0] + int(c[0]), pgs[1] + int(c[1]), pgs[2] + int(c[2]),
+            p["res"], p["size"], p["dense"])
         base = idx.astype(jnp.int32) * C
         for ch in range(C):
             cols.append(level_table[base + ch])
-    return jnp.stack(cols, axis=0), frac, None  # (8*C, N)
+    return jnp.stack(cols, axis=0), fracs, None  # (8*C, N)
 
 
-def _corner_weight(frac, c):
-    return jnp.prod(jnp.where(c[None].astype(bool), frac, 1.0 - frac), axis=-1)
+def _corner_sels(fracs, c):
+    """Per-axis selected frac factors for corner c — three (N,) vectors."""
+    return tuple(
+        fracs[k] if c[k] else 1.0 - fracs[k] for k in range(3)
+    )
 
 
 def _encode_cell_impl(x, table, spec: HashGridSpec):
     """Forward for the "cell" layout.  Returns (out, per-level rows)."""
     C = spec.level_dim
-    x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+    axes = _axes01(x)
     views = _level_views(table, spec)
     cols = []
     rows_all = []
     for p, view in zip(spec.level_params(), views):
         if p["dense"]:
             cache = _build_cell_cache(view, p, C)
-            rows, frac, _ = _cell_rows(x01, cache, p, C)
+            rows, fracs, _ = _cell_rows(axes, cache, p, C)
         else:
-            rows, frac, _ = _hashed_rows(x01, view, p, C)
+            rows, fracs, _ = _hashed_rows(axes, view, p, C)
         rows_all.append(rows)
         acc = [None] * C
         for ci, c in enumerate(_CORNERS):
-            w = _corner_weight(frac, c)
+            s0, s1, s2 = _corner_sels(fracs, c)
+            w = (s0 * s1) * s2
             for ch in range(C):
                 term = rows[ci * C + ch] * w
                 acc[ch] = term if acc[ch] is None else acc[ch] + term
@@ -384,46 +424,87 @@ def _hash_encode_cell_fwd(x, table, spec):
     return out, (x, rows_all)
 
 
+# XLA's TPU scatter has two regimes, switched by destination ROW COUNT (not
+# bytes, not touched footprint, not collisions/sortedness/dtype): row
+# scatters into <= 2^18-row destinations cost ~30 ns/update row, into
+# >= 524K-row ones ~116 ns/row — and width is free up to the 128-lane tile
+# ((N,128) rows into (262K,128) = 134 MB costs the same ~10 ms as (N,16)
+# into 16.8 MB; scripts/microbench_scatter5/6/7/8.py).  Large dense levels
+# therefore scatter through a LANE-PACKED destination: 8 cells share one
+# 128-wide row in disjoint 16-wide column blocks, cutting destination rows
+# 8x at identical bytes, then reshape back row-major for free.
+_FAST_SCATTER_ROWS = 1 << 18
+
+
+def _packed_row_scatter(cell, d_rows, n_dest_rows: int):
+    """Scatter-add (N, F) rows at ``cell`` into (n_dest_rows, F) via a
+    lane-packed destination: P = 128 // F cells share one (P*F,)-wide
+    destination row (cell c -> row c // P, column block (c % P) * F), so
+    the destination has n_dest_rows / P rows and stays inside the
+    fast-regime row count at the SAME byte size.  Each update is the
+    point's F values placed in its block, zeros elsewhere — different
+    cells in one row touch disjoint blocks (adding 0.0 elsewhere, exact),
+    and the packed result reshapes back to (n_dest_rows, F) for FREE
+    (row-major: row r col j  <->  cell r*P + j//F, channel j%F)."""
+    N, F = d_rows.shape
+    P = max(1, 128 // F)
+    rows = -(-n_dest_rows // P)
+    row = cell // P
+    blk = cell % P
+    cols = jnp.arange(P * F, dtype=cell.dtype)[None, :] // F
+    upd = jnp.where(cols == blk[:, None], jnp.tile(d_rows, (1, P)), 0.0)
+    packed = jnp.zeros((rows, P * F), d_rows.dtype).at[row].add(
+        upd, mode="promise_in_bounds")
+    return packed.reshape(rows * P, F)[:n_dest_rows]
+
+
+def _cell_cache_scatter(cell, d_rows, n_dest_rows: int):
+    if n_dest_rows > _FAST_SCATTER_ROWS and d_rows.shape[1] < 128:
+        return _packed_row_scatter(cell, d_rows, n_dest_rows)
+    return jnp.zeros((n_dest_rows, d_rows.shape[1]), d_rows.dtype).at[
+        cell].add(d_rows, mode="promise_in_bounds")
+
+
 def _hash_encode_cell_bwd(spec, res, g):
     x, rows_all = res
     C = spec.level_dim
-    x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
-    dx01 = jnp.zeros_like(x)
+    axes = _axes01(x)
+    # per-axis (N,) cotangent accumulators — never an (N, 3) temp in the
+    # 32-iteration corner unroll (each would be a 64 MB lane-padded buffer
+    # read+written per iteration at the online budget)
+    dxa = [jnp.zeros_like(axes[0]) for _ in range(3)]
     d_levels = []
     for li, p in enumerate(spec.level_params()):
         rows = rows_all[li]
         g_cols = [g[:, li * C + ch] for ch in range(C)]
-        pos = x01 * p["scale"] + 0.5
-        pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        pg = pos_grid.astype(jnp.int32)
+        pgs, fracs = _level_fracs(axes, p)
         # d_rows columns + coordinate cotangent in one corner unroll
         d_cols = []
         for ci, c in enumerate(_CORNERS):
-            sel = jnp.where(c[None].astype(bool), frac, 1.0 - frac)
-            w = jnp.prod(sel, axis=-1)
+            s0, s1, s2 = _corner_sels(fracs, c)
+            w = (s0 * s1) * s2
             gdotrow = None
             for ch in range(C):
                 d_cols.append(w * g_cols[ch])
                 t = g_cols[ch] * rows[ci * C + ch]
                 gdotrow = t if gdotrow is None else gdotrow + t
-            sign = jnp.where(c[None].astype(bool), 1.0, -1.0)
-            prod_others = jnp.stack(
-                [sel[:, 1] * sel[:, 2], sel[:, 0] * sel[:, 2],
-                 sel[:, 0] * sel[:, 1]], axis=-1)
-            dx01 = dx01 + (gdotrow[:, None] * sign * prod_others) * p["scale"]
+            # dw/dx01_k = scale * sign_k * prod_{j != k} sel_j
+            for k, others in enumerate(((s1, s2), (s0, s2), (s0, s1))):
+                term = (gdotrow * (others[0] * others[1])) * p["scale"]
+                dxa[k] = dxa[k] + term if c[k] else dxa[k] - term
         if p["dense"]:
             R = p["res"]
-            cell = pg[..., 0] * (R * R) + pg[..., 1] * R + pg[..., 2]
+            cell = _cell_of(pgs, R)
             d_rows = jnp.stack(d_cols, axis=-1)  # (N, 8*C) scatter operand
-            d_cache = jnp.zeros((R * R * R, 8 * C), d_rows.dtype).at[cell].add(
-                d_rows, mode="promise_in_bounds")  # ONE row scatter-add
+            d_cache = _cell_cache_scatter(cell, d_rows, R * R * R)
             d_levels.append(_reduce_cell_cache_grad(d_cache, p, C))
         else:
             flat_idx = []
             contrib = []
             for ci, c in enumerate(_CORNERS):
-                idx = _corner_index(pg + c[None], p["res"], p["size"], p["dense"])
+                idx = _corner_index_axes(
+                    pgs[0] + int(c[0]), pgs[1] + int(c[1]), pgs[2] + int(c[2]),
+                    p["res"], p["size"], p["dense"])
                 base = idx.astype(jnp.int32) * C
                 for ch in range(C):
                     flat_idx.append(base + ch)
@@ -433,8 +514,9 @@ def _hash_encode_cell_bwd(spec, res, g):
                     jnp.concatenate(flat_idx)
                 ].add(jnp.concatenate(contrib), mode="promise_in_bounds"))
     d_table = jnp.concatenate(d_levels)
+    # chain through x01 = clip((x+1)/2): derivative 0.5 inside, 0 at clip
     inside = (jnp.abs(x) <= 1.0).astype(x.dtype)
-    dx = dx01 * 0.5 * inside
+    dx = jnp.stack(dxa, axis=-1) * 0.5 * inside
     return dx, d_table
 
 

@@ -188,3 +188,26 @@ def test_custom_vjp_matches_autodiff():
     # out-of-range coordinates: zero grad on the clipped dims
     out_dims = np.abs(np.asarray(x)) > 1.0
     assert np.all(np.asarray(gc[0])[out_dims] == 0.0)
+
+
+def test_packed_row_scatter_matches_direct():
+    """The lane-packed scatter (fast-regime destination row counts,
+    microbench_scatter8.py) must equal the plain row scatter, including
+    heavy collisions and a non-divisible destination row count."""
+    rng = np.random.default_rng(3)
+    n_dest = hashgrid._FAST_SCATTER_ROWS * 2 + 3  # non-multiple of 8
+    N = 8192
+    upd = jnp.asarray(rng.standard_normal((N, 16)).astype(np.float32))
+
+    cell = jnp.asarray(rng.integers(0, n_dest, N).astype(np.int32))
+    direct = jnp.zeros((n_dest, 16)).at[cell].add(upd)
+    packed = hashgrid._packed_row_scatter(cell, upd, n_dest)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               rtol=1e-6, atol=1e-6)
+
+    # heavy collisions: all updates into 17 cells
+    cell_c = jnp.asarray(rng.integers(0, 17, N).astype(np.int32))
+    direct_c = jnp.zeros((n_dest, 16)).at[cell_c].add(upd)
+    packed_c = hashgrid._packed_row_scatter(cell_c, upd, n_dest)
+    np.testing.assert_allclose(np.asarray(packed_c), np.asarray(direct_c),
+                               rtol=1e-5, atol=1e-5)

@@ -84,30 +84,33 @@ def sample_z_vals(
     # with camera dirs having |d_z| = 1, so t = z * dir_norm_cam.  The clip
     # boundary is depth + trunc in z units (reference nerf_runner.py:995-999).
     depth_clip_t = (depth + truncation) * dir_norm_cam
-    t_occ, hit, near_t, far_t = occ_ops.sample_rays_in_occupied_space(
-        k1, grid, rays_o_w, dirs_unit_w, cfg.n_march, cfg.n_samples,
-        depth=depth_clip_t, trunc=0.0, perturb=cfg.perturb,
-    )
     inv_norm = 1.0 / jnp.maximum(dir_norm_cam, 1e-10)
-    z_occ = t_occ * inv_norm[:, None]
 
     if cfg.n_samples_around_depth > 0:
+        # ONE occupancy march serves both the depth-clipped main samples
+        # and the unclipped fallback samples for invalid-depth rays
+        # (numerically identical to two marches with these keys).
+        t_occ, t_fb, hit = occ_ops.sample_rays_occupied_with_fallback(
+            k1, k3, grid, rays_o_w, dirs_unit_w, cfg.n_march,
+            cfg.n_samples, cfg.n_samples_around_depth,
+            depth=depth_clip_t, trunc=0.0, perturb=cfg.perturb,
+        )
+        z_occ = t_occ * inv_norm[:, None]
         valid_depth = (depth >= cfg.near * cfg.sc_factor) & (depth <= cfg.far * cfg.sc_factor)
         near_d = depth - truncation
         far_d = depth + truncation * cfg.neg_trunc_ratio
         z_band = occ_ops.sample_rays_uniform(
             k2, near_d, far_d, cfg.n_samples_around_depth, cfg.perturb
         )
-        # invalid-depth rays: fall back to occupied-space samples
-        t_fb, _, _, _ = occ_ops.sample_rays_in_occupied_space(
-            k3, grid, rays_o_w, dirs_unit_w, cfg.n_march,
-            cfg.n_samples_around_depth, depth=None, perturb=cfg.perturb,
-        )
         z_fb = t_fb * inv_norm[:, None]
         z_band = jnp.where(valid_depth[:, None], z_band, z_fb)
         z = jnp.concatenate([z_occ, z_band], axis=-1)
     else:
-        z = z_occ
+        t_occ, hit, _, _ = occ_ops.sample_rays_in_occupied_space(
+            k1, grid, rays_o_w, dirs_unit_w, cfg.n_march, cfg.n_samples,
+            depth=depth_clip_t, trunc=0.0, perturb=cfg.perturb,
+        )
+        z = t_occ * inv_norm[:, None]
     return jax.lax.stop_gradient(z), hit
 
 

@@ -361,17 +361,30 @@ def _cell_rows(axes, cache, p, C: int):
     return rows, fracs, cell
 
 
+def _window_gather(flat, starts, C: int):
+    """Gather (N, C) windows from a flat 1-D table at element offsets
+    ``starts`` — ONE random access per ENTRY instead of per element
+    (an entry's C channels are adjacent in the flat layout; access COUNT
+    is what XLA charges for, scripts/bisect_offline.py)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    return jax.lax.gather(
+        flat, starts[:, None], dn, slice_sizes=(C,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _hashed_rows(axes, level_table, p, C: int):
-    """Element-gather fallback for hashed levels, shaped like _cell_rows."""
+    """Hashed-level fallback shaped like _cell_rows: 8 window-C gathers
+    (one random access per corner) instead of 8*C element gathers."""
     pgs, fracs = _level_fracs(axes, p)
     cols = []
     for c in _CORNERS:
         idx = _corner_index_axes(
             pgs[0] + int(c[0]), pgs[1] + int(c[1]), pgs[2] + int(c[2]),
             p["res"], p["size"], p["dense"])
-        base = idx.astype(jnp.int32) * C
+        pair = _window_gather(level_table, idx.astype(jnp.int32) * C, C).T
         for ch in range(C):
-            cols.append(level_table[base + ch])
+            cols.append(pair[ch])
     return jnp.stack(cols, axis=0), fracs, None  # (8*C, N)
 
 
@@ -453,8 +466,26 @@ def _packed_row_scatter(cell, d_rows, n_dest_rows: int):
     blk = cell % P
     cols = jnp.arange(P * F, dtype=cell.dtype)[None, :] // F
     upd = jnp.where(cols == blk[:, None], jnp.tile(d_rows, (1, P)), 0.0)
-    packed = jnp.zeros((rows, P * F), d_rows.dtype).at[row].add(
-        upd, mode="promise_in_bounds")
+    if rows <= _FAST_SCATTER_ROWS:
+        packed = jnp.zeros((rows, P * F), d_rows.dtype).at[row].add(
+            upd, mode="promise_in_bounds")
+    else:
+        # Still over the fast-regime row count after packing (res > 128 at
+        # the offline budget): mask-split into S contiguous destination
+        # chunks of <= 2^18 rows.  S masked full-N scatters at ~30 ns/row
+        # beat one at ~116 ns/row for S <= 3 (no sort/routing needed; out-
+        # of-chunk rows add 0.0 to row 0 — exact).
+        S = -(-rows // _FAST_SCATTER_ROWS)
+        chunk = -(-rows // S)
+        parts = []
+        for s in range(S):
+            sel = (row >= s * chunk) & (row < (s + 1) * chunk)
+            r = jnp.where(sel, row - s * chunk, 0)
+            u = jnp.where(sel[:, None], upd, 0.0)
+            parts.append(
+                jnp.zeros((chunk, P * F), d_rows.dtype).at[r].add(
+                    u, mode="promise_in_bounds"))
+        packed = jnp.concatenate(parts, axis=0)[:rows]
     return packed.reshape(rows * P, F)[:n_dest_rows]
 
 
@@ -469,6 +500,9 @@ def _hash_encode_cell_bwd(spec, res, g):
     x, rows_all = res
     C = spec.level_dim
     axes = _axes01(x)
+    # one transpose up front: per-channel cotangent reads become contiguous
+    # (L*C, N) rows instead of strided columns of the lane-padded (N, L*C)
+    gT = g.T
     # per-axis (N,) cotangent accumulators — never an (N, 3) temp in the
     # 32-iteration corner unroll (each would be a 64 MB lane-padded buffer
     # read+written per iteration at the online budget)
@@ -476,7 +510,7 @@ def _hash_encode_cell_bwd(spec, res, g):
     d_levels = []
     for li, p in enumerate(spec.level_params()):
         rows = rows_all[li]
-        g_cols = [g[:, li * C + ch] for ch in range(C)]
+        g_cols = [gT[li * C + ch] for ch in range(C)]
         pgs, fracs = _level_fracs(axes, p)
         # d_rows columns + coordinate cotangent in one corner unroll
         d_cols = []
@@ -499,6 +533,9 @@ def _hash_encode_cell_bwd(spec, res, g):
             d_cache = _cell_cache_scatter(cell, d_rows, R * R * R)
             d_levels.append(_reduce_cell_cache_grad(d_cache, p, C))
         else:
+            # flat element scatter (window-C scatter_add measured 400x
+            # slower — a pathological XLA emitter; element streams are the
+            # fast form for 1-D destinations, scripts/bisect_offline.py)
             flat_idx = []
             contrib = []
             for ci, c in enumerate(_CORNERS):

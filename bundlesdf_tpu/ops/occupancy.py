@@ -109,6 +109,25 @@ def sample_rays_in_occupied_space(
       hit:    (N,) bool — ray intersects occupied space;
       near, far: (N,) first/last occupied probe distance (0 where miss).
     """
+    occ, t0, dt, t_mid = _march_occupancy(grid, rays_o, rays_d, n_march)
+    if depth is not None:
+        depth_ok = depth > 1e-6
+        clip_far = jnp.where(depth_ok, depth + trunc, jnp.inf)
+        occ = occ & (t_mid <= clip_far[:, None])
+
+    z, hit = _invert_occupied_cdf(key, occ, t0, dt, n_march, n_samples, perturb)
+
+    # near/far: first/last occupied probe.
+    first_idx = jnp.argmax(occ, axis=-1)
+    last_idx = n_march - 1 - jnp.argmax(occ[:, ::-1], axis=-1)
+    near = jnp.where(hit, t0 + first_idx.astype(jnp.float32) * dt, 0.0)
+    far = jnp.where(hit, t0 + (last_idx.astype(jnp.float32) + 1.0) * dt, 0.0)
+    return z, hit, near, far
+
+
+def _march_occupancy(grid, rays_o, rays_d, n_march: int):
+    """Shared march: probe occupancy at n_march midpoints along each ray's
+    [-1,1]^3 chord.  Returns (occ (N,M) incl. box mask, t0, dt, t_mid)."""
     N = rays_o.shape[0]
     tmin, tmax = geometry.ray_box_intersection(
         rays_o, rays_d, jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0])
@@ -117,23 +136,23 @@ def sample_rays_in_occupied_space(
     t0 = jnp.where(box_hit, tmin, 0.0)
     t1 = jnp.where(box_hit, tmax, 0.0)
     dt = (t1 - t0) / n_march  # (N,)
-    # March probe midpoints.
     steps = (jnp.arange(n_march, dtype=jnp.float32) + 0.5)[None, :]  # (1, M)
     t_mid = t0[:, None] + steps * dt[:, None]  # (N, M)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
     occ = query_occupancy(grid, pts.reshape(-1, 3)).reshape(N, n_march)
-    if depth is not None:
-        depth_ok = depth > 1e-6
-        clip_far = jnp.where(depth_ok, depth + trunc, jnp.inf)
-        occ = occ & (t_mid <= clip_far[:, None])
-    occ = occ & box_hit[:, None]
+    return occ & box_hit[:, None], t0, dt, t_mid
 
+
+def _invert_occupied_cdf(key, occ, t0, dt, n_march: int, n_samples: int,
+                         perturb: bool):
+    """Map stratified uniforms through the inverse of the occupied-length
+    prefix sum (the union-of-spans CDF)."""
+    N = occ.shape[0]
     seg_len = jnp.where(occ, dt[:, None], 0.0)  # (N, M)
     cdf = jnp.cumsum(seg_len, axis=-1)  # (N, M)
     total = cdf[:, -1]  # (N,) occupied length
     hit = total > 1e-8
 
-    # Stratified uniforms over [0, total].
     u = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
     u = jnp.broadcast_to(u[None], (N, n_samples))
     if perturb:
@@ -149,13 +168,37 @@ def sample_rays_in_occupied_space(
     # Residual arc length inside step k: the whole step is occupied.
     z = t_step_start + (s - cdf_prev)
     z = jnp.where(hit[:, None], z, 0.0)
+    return z, hit
 
-    # near/far: first/last occupied probe.
-    first_idx = jnp.argmax(occ, axis=-1)
-    last_idx = n_march - 1 - jnp.argmax(occ[:, ::-1], axis=-1)
-    near = jnp.where(hit, t0 + first_idx.astype(jnp.float32) * dt, 0.0)
-    far = jnp.where(hit, t0 + (last_idx.astype(jnp.float32) + 1.0) * dt, 0.0)
-    return z, hit, near, far
+
+def sample_rays_occupied_with_fallback(
+    key_main: jax.Array,
+    key_fb: jax.Array,
+    grid: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    n_march: int,
+    n_samples: int,
+    n_samples_fb: int,
+    depth: jnp.ndarray,
+    trunc: float = 0.0,
+    perturb: bool = True,
+):
+    """One march, two sample sets: the depth-clipped main set and an
+    unclipped fallback set (for rays without valid depth).  Same math as
+    two sample_rays_in_occupied_space calls with these keys (equal up to
+    compile-variant float drift), but shares the n_march occupancy probe — the march (a 409K-point
+    random gather at the online budget) was ~40% of sampling cost when
+    done twice (scripts/bisect_nof.py render_rays stage)."""
+    occ_free, t0, dt, t_mid = _march_occupancy(grid, rays_o, rays_d, n_march)
+    depth_ok = depth > 1e-6
+    clip_far = jnp.where(depth_ok, depth + trunc, jnp.inf)
+    occ_main = occ_free & (t_mid <= clip_far[:, None])
+    z, hit = _invert_occupied_cdf(key_main, occ_main, t0, dt, n_march,
+                                  n_samples, perturb)
+    z_fb, _ = _invert_occupied_cdf(key_fb, occ_free, t0, dt, n_march,
+                                   n_samples_fb, perturb)
+    return z, z_fb, hit
 
 
 @partial(jax.jit, static_argnames=("n_samples", "perturb"))

@@ -211,3 +211,11 @@ def test_packed_row_scatter_matches_direct():
     packed_c = hashgrid._packed_row_scatter(cell_c, upd, n_dest)
     np.testing.assert_allclose(np.asarray(packed_c), np.asarray(direct_c),
                                rtol=1e-5, atol=1e-5)
+
+    # mask-split path: packed rows still over the fast-regime limit
+    n_big = hashgrid._FAST_SCATTER_ROWS * 8 * 2 + 5
+    cell_b = jnp.asarray(rng.integers(0, n_big, N).astype(np.int32))
+    direct_b = jnp.zeros((n_big, 16)).at[cell_b].add(upd)
+    packed_b = hashgrid._packed_row_scatter(cell_b, upd, n_big)
+    np.testing.assert_allclose(np.asarray(packed_b), np.asarray(direct_b),
+                               rtol=1e-6, atol=1e-6)

@@ -86,3 +86,47 @@ def test_sample_uniform():
     zn = np.array(z[0])
     assert zn.min() >= 1.0 and zn.max() <= 2.0
     assert np.all(np.diff(zn) > 0)
+
+
+def test_shared_march_fallback_matches_two_calls():
+    """sample_rays_occupied_with_fallback must reproduce exactly the two
+    separate sample_rays_in_occupied_space calls it replaces (same keys)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray((rng.random((500, 3)) * 0.8 - 0.4).astype(np.float32))
+    grid = occ.build_occupancy_grid(pts, jnp.ones(500, bool), 32)
+    d = rng.standard_normal((64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (-d * 2.0).astype(np.float32)
+    depth = np.abs(rng.random(64).astype(np.float32)) * 3.0
+    depth[::5] = 0.0  # some invalid-depth rays
+    k1, k3 = jax.random.split(jax.random.PRNGKey(3))
+
+    z_a, hit_a, _, _ = occ.sample_rays_in_occupied_space(
+        k1, grid, jnp.asarray(o), jnp.asarray(d), 100, 16,
+        depth=jnp.asarray(depth), trunc=0.0, perturb=True)
+    z_fb_a, _, _, _ = occ.sample_rays_in_occupied_space(
+        k3, grid, jnp.asarray(o), jnp.asarray(d), 100, 8,
+        depth=None, perturb=True)
+
+    z_b, z_fb_b, hit_b = occ.sample_rays_occupied_with_fallback(
+        k1, k3, grid, jnp.asarray(o), jnp.asarray(d), 100, 16, 8,
+        depth=jnp.asarray(depth), trunc=0.0, perturb=True)
+
+    # Same math, but two distinct XLA programs: a ulp of fusion drift in
+    # t_mid vs the depth clip flips boundary probes, shifting that row's
+    # CDF by one span — so assert the semantic invariants, not bitwise.
+    np.testing.assert_array_equal(np.asarray(hit_a), np.asarray(hit_b))
+    for a, b in ((z_a, z_b), (z_fb_a, z_fb_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.mean(np.abs(a - b)) < 0.02  # bulk agreement
+        hb = np.asarray(hit_b)
+        assert np.all(np.diff(b[hb], axis=-1) >= -1e-6)  # sorted per ray
+        assert np.all(b[hb] > 0)
+    # clipped samples respect depth + one probe step of slack
+    hb = np.asarray(hit_b)
+    dt_slack = 4.0 / 100 + 1e-5
+    zb = np.asarray(z_b)[hb]
+    ok = (zb <= depth[hb, None] + dt_slack) | (depth[hb, None] <= 1e-6)
+    assert np.all(ok)

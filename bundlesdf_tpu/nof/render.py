@@ -209,7 +209,10 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # rank-count (see ops/occupancy.py): fused compare+reduce beats the
+    # vmapped-searchsorted binary search's batched dynamic gathers
+    idx = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
+                  axis=-1)
     below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
     above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
     cdf_b = jnp.take_along_axis(cdf, below, axis=-1)

@@ -161,7 +161,11 @@ def _invert_occupied_cdf(key, occ, t0, dt, n_march: int, n_samples: int,
     s = u * total[:, None]  # (N, S) target arc length
 
     # Invert the prefix sum: first march step whose cdf exceeds s.
-    k = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, s)
+    # Rank-count instead of vmapped searchsorted: binary search lowers to
+    # ~log2(M) batched dynamic gathers (~2M random accesses per call at
+    # the online budget); with M = n_march small, one fused broadcast
+    # compare+reduce is pure VPU work (scripts/bisect_nof.py).
+    k = jnp.sum((cdf[:, None, :] <= s[:, :, None]).astype(jnp.int32), axis=-1)
     k = jnp.clip(k, 0, n_march - 1)
     cdf_prev = jnp.where(k > 0, jnp.take_along_axis(cdf, jnp.maximum(k - 1, 0), axis=-1), 0.0)
     t_step_start = t0[:, None] + k.astype(jnp.float32) * dt[:, None]

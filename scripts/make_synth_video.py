@@ -7,6 +7,8 @@ from synthetic_cube import render_cube_rgbd
 from scipy.spatial.transform import Rotation
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_dots"
+n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+deg_step = float(sys.argv[3]) if len(sys.argv) > 3 else 6.0
 H = W = 480
 K = np.array([[600.0, 0, W/2], [0, 600.0, H/2], [0, 0, 1]], np.float32)
 axis = np.array([0, 1, 0.2]); axis = axis/np.linalg.norm(axis)
@@ -15,9 +17,11 @@ for d in ["rgb", "depth", "masks"]:
     os.makedirs(f"{out}/{d}", exist_ok=True)
 np.savetxt(f"{out}/cam_K.txt", K)
 gts = []
-for k in range(12):
-    R = Rotation.from_rotvec(axis*np.deg2rad(6.0*k)).as_matrix() @ base
-    ob_in_cam = np.eye(4); ob_in_cam[:3,:3] = R; ob_in_cam[:3,3] = [0,0,0.55]
+for k in range(n_frames):
+    R = Rotation.from_rotvec(axis*np.deg2rad(deg_step*k)).as_matrix() @ base
+    ob_in_cam = np.eye(4); ob_in_cam[:3,:3] = R
+    # small translation wobble so translation tracking is exercised too
+    ob_in_cam[:3,3] = [0.02*np.sin(k*0.4), 0.015*np.cos(k*0.3), 0.55 + 0.01*np.sin(k*0.2)]
     rgb, depth, mask = render_cube_rgbd(ob_in_cam, K, H, W, texture="dots")
     name = f"{k:05d}"
     cv2.imwrite(f"{out}/rgb/{name}.png", cv2.cvtColor(rgb.astype(np.uint8), cv2.COLOR_RGB2BGR))

@@ -254,8 +254,9 @@ def default_nof_config() -> Cfg:
             "netwidth": 64,
             "start_nerf_keyframes": 5,
             "ray_pool_reserve_log2": 0,
+            "ray_pool_max_log2": 23,
             "loop_chunk": 50,
-            "max_kf_pool": 128,
+            "max_kf_pool": 300,
             "save_dir": "/tmp/bundlesdf_tpu_nof",
         }
     )

@@ -20,6 +20,7 @@ Parity anchors:
 """
 from __future__ import annotations
 
+import logging
 import math
 from functools import partial
 from typing import NamedTuple
@@ -568,6 +569,18 @@ class NofRunner:
         return rays[keep]
 
     def _upload_rays(self):
+        # Hard pool cap (cfg ray_pool_max_log2): beyond it, uniformly
+        # subsample the pool instead of growing — the analogue of the
+        # reference capping training images at n_train_image
+        # (bundlesdf.py:646-651); random rays from a uniform subsample are
+        # the same distribution as random rays from the full pool, up to
+        # per-pixel coverage.  Keeps the compiled train program's shapes
+        # (and the remote-compile cost/fragility) bounded for long videos.
+        max_cap = 1 << int(self.cfg.get("ray_pool_max_log2", 23))
+        if len(self.rays_np) > max_cap:
+            rng = np.random.default_rng(len(self.rays_np))
+            keep = rng.choice(len(self.rays_np), max_cap, replace=False)
+            self.rays_np = self.rays_np[np.sort(keep)]
         n = len(self.rays_np)
         # Fixed-capacity pool, doubling growth => few recompiles.  A
         # continual session can reserve the expected final size up front
@@ -575,7 +588,7 @@ class NofRunner:
         # program ONCE — each pool-size bucket costs a ~3 min recompile of
         # the scanned train loop on the tunneled TPU.
         reserve = 1 << int(self.cfg.get("ray_pool_reserve_log2", 0))
-        cap = max(1 << 14, reserve,
+        cap = max(1 << 14, min(reserve, max_cap),
                   1 << int(math.ceil(math.log2(max(n, 1)))))
         pool = np.zeros((cap, nof_render.RAY_DIM), dtype=np.float32)
         pool[:n] = self.rays_np
@@ -709,6 +722,25 @@ class NofRunner:
         occupancy grid, reset the pose-correction array, append rays for the
         new frames only."""
         n_new = len(images)
+        room = self.max_frames - self.n_frames
+        if n_new > room:
+            # Keyframe pool saturated (cfg max_kf_pool, default =
+            # n_train_image like the reference's offline cap): keep the
+            # newest frames that fit instead of crashing.  Training
+            # continues on the capped history; extra keyframes still get
+            # tracker poses, just no NOF pose feedback.
+            logging.warning(
+                "NOF keyframe pool full (%d): dropping %d new frame(s)",
+                self.max_frames, n_new - room)
+            images, depths, masks = images[:room], depths[:room], masks[:room]
+            if occ_masks is not None:
+                occ_masks = occ_masks[:room]
+            poses = poses[: self.n_frames + room]
+            n_new = room
+            if n_new == 0:
+                self.c2w_np[: self.n_frames] = poses[: self.n_frames].astype(np.float32)
+                self.build_occupancy(build_octree_pts)
+                return
         start = self.n_frames
         self.images = np.concatenate([self.images, images.astype(np.float32)])
         self.depths = np.concatenate([self.depths, depths.astype(np.float32)])

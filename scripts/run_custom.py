@@ -40,8 +40,16 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_nof=True,
     cfg_track["debug_dir"] = out_folder
     cfg_nof = default_nof_config()
     cfg_nof["save_dir"] = out_folder
-    # reserve the full-run ray pool: one train-program compile per run
-    cfg_nof["ray_pool_reserve_log2"] = 20
+    # reserve the full-run ray pool: one train-program compile per run.
+    # Sized from the video length (~120K masked rays/frame at 480p) — an
+    # undersized reserve doubles mid-run and each doubling recompiles the
+    # scanned train loop (~3-5 min on the tunneled TPU).
+    import math as _math
+    n_video_frames = len(
+        [f for f in os.listdir(os.path.join(video_dir, "rgb"))]
+    ) if video_dir else 12
+    est = max(1, min(n_video_frames, 300)) * 120_000
+    cfg_nof["ray_pool_reserve_log2"] = min(23, max(20, _math.ceil(_math.log2(est))))
     # config-as-artifact (reference run_custom.py:23-63)
     cfg_track.save(f"{out_folder}/config_track.yml")
     cfg_nof.save(f"{out_folder}/config_nerf.yml")

@@ -233,6 +233,29 @@ def test_nof_runner_add_new_frames():
     runner.train(3)  # still trains after extension
 
 
+def test_nof_runner_pool_cap_continual():
+    """Crossing the hard ray-pool cap during continual extension keeps the
+    pool bounded and training functional."""
+    data = make_sphere_dataset(n_views=6, H=32, W=32)
+    cfg = tiny_cfg()
+    cfg["N_rand"] = 128
+    cfg["ray_pool_max_log2"] = 9  # 512-ray cap, crossed immediately
+    runner = NofRunner(
+        cfg, data["images"][:4], data["depths"][:4], data["masks"][:4],
+        data["poses"][:4], data["K"], data["cloud"],
+    )
+    assert len(runner.rays_np) <= 512
+    runner.train(2)
+    runner.add_new_frames(
+        data["images"][4:], data["depths"][4:], data["masks"][4:],
+        data["poses"], data["cloud"],
+    )
+    assert len(runner.rays_np) <= 512
+    assert runner.rays_dev.shape[0] <= 16384  # floor-capped device pool
+    m = runner.train(2)
+    assert np.isfinite(m["loss"])
+
+
 def test_microbatched_train_step_matches_fused():
     """Gradient accumulation over ray chunks must reproduce the fused
     update exactly (losses are plain means over fixed shapes)."""
@@ -372,3 +395,51 @@ def test_i_weights_checkpoint_cadence(tmp_path):
     step_before = runner.global_step
     runner.load_weights(str(ckpt))
     assert runner.global_step in (4, 6) and runner.global_step <= step_before
+
+
+def test_ray_pool_hard_cap_subsamples():
+    """Beyond ray_pool_max_log2 the pool must uniformly subsample instead
+    of growing (keeps compiled shapes bounded on long videos)."""
+    from bundlesdf_tpu.nof import runner as nof_runner
+
+    class Dummy:
+        pass
+
+    self = Dummy()
+    self.cfg = {"ray_pool_max_log2": 15, "ray_pool_reserve_log2": 17}
+    self.rays_np = np.arange(40000 * 12, dtype=np.float32).reshape(40000, 12)
+    self.c2w_np = np.broadcast_to(np.eye(4, dtype=np.float32), (4, 4, 4)).copy()
+    nof_runner.NofRunner._upload_rays(self)
+    assert len(self.rays_np) == 32768  # capped at 2^15
+    assert self.rays_dev.shape[0] == 32768  # reserve clamped to the cap
+    assert int(self.n_rays) == 32768
+    # subsample preserved row integrity and order
+    rows = np.asarray(self.rays_np)
+    assert np.all(np.diff(rows[:, 0]) > 0)
+    assert np.all(rows[:, 0] % 12 == 0)
+
+
+def test_kf_pool_saturation_graceful():
+    """Overflowing max_kf_pool drops the excess instead of crashing."""
+    data = make_sphere_dataset(n_views=6, H=32, W=32)
+    cfg = tiny_cfg()
+    cfg["N_rand"] = 128
+    cfg["max_kf_pool"] = 5
+    runner = NofRunner(
+        cfg, data["images"][:4], data["depths"][:4], data["masks"][:4],
+        data["poses"][:4], data["K"], data["cloud"],
+    )
+    runner.add_new_frames(
+        data["images"][4:], data["depths"][4:], data["masks"][4:],
+        data["poses"], data["cloud"],
+    )
+    assert runner.n_frames == 5  # one admitted, one dropped
+    runner.train(2)
+    # a second overflowing add is a no-op pose/occupancy refresh
+    runner.add_new_frames(
+        data["images"][5:], data["depths"][5:], data["masks"][5:],
+        data["poses"][:5], data["cloud"],
+    )
+    assert runner.n_frames == 5
+    m = runner.train(2)
+    assert np.isfinite(m["loss"])

@@ -31,6 +31,12 @@ def run_one_video(video_dir, out_folder, use_nof=True):
     cfg_track["debug_dir"] = out_folder
     cfg_nof = default_nof_config()
     cfg_nof["save_dir"] = out_folder
+    # one train-program compile per video: reserve the ray pool for the
+    # full sequence (~120K masked rays/frame at 640x480), capped by
+    # ray_pool_max_log2 (see run_custom.py)
+    import math as _math
+    est = max(1, min(len(reader), 300)) * 120_000
+    cfg_nof["ray_pool_reserve_log2"] = min(23, max(20, _math.ceil(_math.log2(est))))
     cfg_track.save(f"{out_folder}/config_track.yml")
     cfg_nof.save(f"{out_folder}/config_nerf.yml")
     tracker = BundleSdf(cfg_track=cfg_track, cfg_nof=cfg_nof,

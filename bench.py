@@ -2,20 +2,31 @@
 online budget — the #1 hot loop of the pipeline (SURVEY.md §3.5: 500 steps
 x 2048 rays x ~192 samples per keyframe batch; config.yml:2,7,18-19,44-47).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "backend"}.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); we anchor
-vs_baseline to 100 train steps/s — an estimate of the reference's torch+
+vs_baseline to 100 train steps/s — an ESTIMATE of the reference's torch+
 tsdf-CUDA online loop on its single desktop GPU (500-step chunks at the
-"near-real-time" budget).  vs_baseline = steps_per_s / 100.
+"near-real-time" budget).  vs_baseline = steps_per_s / 100.  The estimate
+is flagged in the output ("baseline_is_estimate": true).
+
+Resilience: the tunneled TPU backend is flaky (round-1 BENCH was lost to a
+single failed attempt).  The benchmark runs in a child process with bounded
+retries; a persistent backend failure produces a structured error JSON
+(backend "unavailable") instead of a non-zero exit with no record.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+RETRIES = 5
+RETRY_WAIT_S = 30.0
 
 
-def main():
+def run_bench():
+    import numpy as np
     import jax
 
     from __graft_entry__ import _build_nof
@@ -37,11 +48,9 @@ def main():
         optax.scale_by_schedule(lambda s: -0.01 * (0.1 ** (s / 500.0))),
     )
     opt_state = optimizer.init(params)
-    train_step, _ = nof_runner.make_train_step(st, optimizer)
     train_many = nof_runner.make_train_loop(st, optimizer)
 
     key = jax.random.PRNGKey(0)
-    n_rays = np.int32(rays.shape[0])
 
     # Expand the ray pool so gathers aren't trivially cached.
     import jax.numpy as jnp
@@ -75,8 +84,46 @@ def main():
         "value": round(steps_per_s, 2),
         "unit": "steps/s (2048 rays x 192 samples, 4-level hash 2^22)",
         "vs_baseline": round(steps_per_s / 100.0, 3),
+        "baseline_is_estimate": True,
+        "backend": jax.default_backend(),
     }))
 
 
+def main():
+    """Retry wrapper: each attempt is a fresh child process (jax caches a
+    failed backend init for the life of the process, so in-process retries
+    cannot recover from a transient tunnel outage)."""
+    last_err = ""
+    for attempt in range(RETRIES):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if "metric" in rec:
+                print(line)
+                return 0
+        last_err = (proc.stderr or proc.stdout or "").strip()[-2000:]
+        if attempt < RETRIES - 1:
+            time.sleep(RETRY_WAIT_S * (attempt + 1))
+    print(json.dumps({
+        "metric": "nof_train_steps_per_s",
+        "value": None,
+        "unit": "steps/s (2048 rays x 192 samples, 4-level hash 2^22)",
+        "vs_baseline": None,
+        "baseline_is_estimate": True,
+        "backend": "unavailable",
+        "error": last_err[-500:],
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        run_bench()
+    else:
+        sys.exit(main())

@@ -209,6 +209,63 @@ class LocalFeatureTransformer(nn.Module):
         return f0, f1
 
 
+# --------------------------------------------------- coarse/fine matching
+def dual_softmax_conf(f0: jnp.ndarray, f1: jnp.ndarray, temp: float) -> jnp.ndarray:
+    """Dual-softmax confidence matrix (coarse_matching.py:109-119):
+    features (B, L, C)/(B, S, C) -> (B, L, S)."""
+    d = f0.shape[-1]
+    f0n = f0 / (d ** 0.5)
+    f1n = f1 / (d ** 0.5)
+    sim = jnp.einsum("bld,bsd->bls", f0n, f1n) / temp
+    return jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+
+
+def coarse_match_fixed(conf: jnp.ndarray, Hc: int, Wc: int, thr: float,
+                       border_rm: int, K: int):
+    """Fixed-capacity coarse match selection (coarse_matching.py
+    get_coarse_match :150-196, eval path): confidence threshold + border
+    removal + mutual-nearest, then static top-K by confidence instead of
+    boolean indexing (TPU static shapes).
+
+    conf: (B, L, S) with L == S == Hc*Wc.  Returns (i_ids, j_ids, mconf,
+    valid), each (B, K).
+    """
+    best_j = jnp.argmax(conf, axis=2)          # (B, L)
+    best_i = jnp.argmax(conf, axis=1)          # (B, S)
+    l_idx = jnp.arange(Hc * Wc)
+    mutual = jax.vmap(lambda bi, bj: bi[bj] == l_idx)(best_i, best_j)
+    conf_best = jnp.max(conf, axis=2)          # (B, L)
+    yi = l_idx // Wc
+    xi = l_idx % Wc
+    rm = border_rm
+    inb0 = (yi >= rm) & (yi < Hc - rm) & (xi >= rm) & (xi < Wc - rm)
+    yj = best_j // Wc
+    xj = best_j % Wc
+    inb1 = (yj >= rm) & (yj < Hc - rm) & (xj >= rm) & (xj < Wc - rm)
+    ok = mutual & (conf_best > thr) & inb0[None] & inb1
+
+    score = jnp.where(ok, conf_best, -1.0)
+    mconf, i_ids = jax.lax.top_k(score, K)     # (B, K)
+    j_ids = jnp.take_along_axis(best_j, i_ids, axis=1)
+    valid = mconf > 0
+    return i_ids, j_ids, jnp.where(valid, mconf, 0.0), valid
+
+
+def fine_expectation(w0f: jnp.ndarray, w1f: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Expectation-over-heatmap fine refinement (fine_matching.py:43-54):
+    transformed window features (M, WW, C) x2 -> normalized [-1, 1] sub-cell
+    coords (M, 2) [dx, dy] of the match in image 1."""
+    WW = W * W
+    C = w0f.shape[-1]
+    center = w0f[:, WW // 2, :]  # (M, C)
+    simf = jnp.einsum("mc,mrc->mr", center, w1f) / (C ** 0.5)
+    heat = jax.nn.softmax(simf, axis=1)  # (M, WW)
+    ax = jnp.arange(W, dtype=jnp.float32) / (W // 2) - 1.0  # [-1, 1]
+    gy, gx = jnp.meshgrid(ax, ax, indexing="ij")
+    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (WW, 2) [x, y]
+    return jnp.einsum("mr,rd->md", heat, grid)  # (M, 2) in [-1, 1]
+
+
 # ----------------------------------------------------------------- LoFTR
 class LoftrModule(nn.Module):
     cfg: LoftrCfg
@@ -242,10 +299,7 @@ class LoftrModule(nn.Module):
         )(f0, f1)
 
         # dual-softmax coarse matching (coarse_matching.py)
-        f0n = f0 / (c.d_coarse ** 0.5)
-        f1n = f1 / (c.d_coarse ** 0.5)
-        sim = jnp.einsum("bld,bsd->bls", f0n, f1n) / c.dsmax_temp
-        conf = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+        conf = dual_softmax_conf(f0, f1, c.dsmax_temp)
 
         # ---------------- fine branch (shared by both modes) ----------------
         W = c.window
@@ -292,11 +346,7 @@ class LoftrModule(nn.Module):
                 w0m.reshape(B * Kn, WW, c.d_fine), w1m.reshape(B * Kn, WW, c.d_fine)
             )
             # expectation over heatmap (fine_matching.py)
-            center = w0f[:, WW // 2, :]  # (BK, D)
-            simf = jnp.einsum("mc,mrc->mr", center, w1f) / (c.d_fine ** 0.5)
-            heat = jax.nn.softmax(simf, axis=1)  # (BK, WW)
-            grid = (offs[:, ::-1].astype(jnp.float32)) / (W // 2)  # [dx, dy]
-            coords = jnp.einsum("mr,rd->md", heat, grid)  # (BK, 2) in [-1, 1]
+            coords = fine_expectation(w0f, w1f, W)  # (BK, 2) in [-1, 1]
             scale_f = 2  # input -> fine
             return coords.reshape(B, Kn, 2) * (W // 2) * scale_f
 
@@ -314,26 +364,9 @@ class LoftrModule(nn.Module):
             }
 
         # mutual nearest + threshold, fixed-capacity top-K
-        best_j = jnp.argmax(conf, axis=2)          # (B, L)
-        best_i = jnp.argmax(conf, axis=1)          # (B, S)
-        l_idx = jnp.arange(Hc * Wc)
-        mutual = jax.vmap(lambda bi, bj: bi[bj] == l_idx)(best_i, best_j)
-        conf_best = jnp.max(conf, axis=2)          # (B, L)
-        # border removal
-        yi = l_idx // Wc
-        xi = l_idx % Wc
-        rm = c.border_rm
-        inb0 = (yi >= rm) & (yi < Hc - rm) & (xi >= rm) & (xi < Wc - rm)
-        yj = best_j // Wc
-        xj = best_j % Wc
-        inb1 = (yj >= rm) & (yj < Hc - rm) & (xj >= rm) & (xj < Wc - rm)
-        ok = mutual & (conf_best > c.thr) & inb0[None] & inb1
-
-        score = jnp.where(ok, conf_best, -1.0)
-        K = c.max_matches
-        top_conf, i_ids = jax.lax.top_k(score, K)      # (B, K)
-        j_ids = jnp.take_along_axis(best_j, i_ids, axis=1)
-        valid = top_conf > 0
+        i_ids, j_ids, top_conf, valid = coarse_match_fixed(
+            conf, Hc, Wc, c.thr, c.border_rm, c.max_matches
+        )
 
         delta = fine_refine(i_ids, j_ids)
         mk0 = cells_to_px(i_ids)
@@ -342,7 +375,7 @@ class LoftrModule(nn.Module):
         return {
             "mkpts0": mk0,
             "mkpts1": mk1_f,
-            "conf": jnp.where(valid, top_conf, 0.0),
+            "conf": top_conf,
             "valid": valid,
         }
 

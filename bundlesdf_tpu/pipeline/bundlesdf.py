@@ -202,7 +202,8 @@ class BundleSdf:
         frame.pose_in_model = (offset @ frame.pose_in_model).astype(np.float32)
 
         window_size = int(cfg["bundle"]["window_size"])
-        if len(b.frames) - len([f for f in b.frames.values() if f in b.keyframes]) > window_size:
+        kf_ids = {kf.id for kf in b.keyframes}
+        if len(b.frames) - sum(1 for fid in b.frames if fid in kf_ids) > window_size:
             for fid in sorted(b.frames.keys()):
                 if b.forget_frame(b.frames[fid]):
                     break

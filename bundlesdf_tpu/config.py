@@ -118,6 +118,16 @@ def default_track_config() -> Cfg:
                 "resize": 400,
                 "rematch_after_nerf": False,
                 "max_matches_per_pair": 512,
+                # matching engine: corner | sift | loftr | remote
+                # (reference uses the GluNet/LoFTR path, Bundler.cpp:51 +
+                # loftr_wrapper.py; `corner` is the weight-free default)
+                "matcher": "corner",
+                # for matcher=loftr: torch .ckpt (outdoor_ds.ckpt-style) or
+                # converted .npz params; empty = random-init weights
+                "loftr_ckpt": "",
+                # for matcher=remote: ZMQ matcher server port (reference
+                # Lfnet/DeepOpticalFlow servers, FeatureManager.cpp:2080-2430)
+                "remote_port": 5555,
             },
             "ransac": {
                 "max_iter": 2000,

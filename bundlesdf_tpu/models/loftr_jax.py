@@ -48,6 +48,12 @@ class LoftrCfg(NamedTuple):
     thr: float = 0.2
     border_rm: int = 2
     max_matches: int = 512
+    # The shipped reference pipeline builds LoFTR from cvpr_ds_config
+    # (loftr_wrapper.py:21 uses `default_cfg` = cvpr_ds_config, which sets
+    # TEMP_BUG_FIX = False) because the released outdoor_ds.ckpt was trained
+    # with the buggy positional-encoding temperature.  Default to that
+    # variant so converted reference checkpoints are numerically faithful.
+    temp_bug_fix: bool = False
 
 
 # ---------------------------------------------------------------- backbone
@@ -134,13 +140,21 @@ class ResNetFPN82(nn.Module):
 
 
 # ----------------------------------------------------------- pos encoding
-def sine_pos_encoding(H: int, W: int, d_model: int) -> np.ndarray:
-    """(H, W, d_model), temp_bug_fix=True variant
-    (position_encoding.py:22-34)."""
+def sine_pos_encoding(H: int, W: int, d_model: int,
+                      temp_bug_fix: bool = True) -> np.ndarray:
+    """(H, W, d_model) 2D sine positional encoding
+    (position_encoding.py:22-34).  ``temp_bug_fix=False`` reproduces the
+    original buggy temperature ``(-log(1e4)/d_model)//2`` (a Python
+    floor-division precedence bug the released checkpoints were trained
+    with; see position_encoding.py:26-28)."""
     pe = np.zeros((d_model, H, W), dtype=np.float32)
     y_pos = np.cumsum(np.ones((H, W)), axis=0)[None]
     x_pos = np.cumsum(np.ones((H, W)), axis=1)[None]
-    div = np.exp(np.arange(0, d_model // 2, 2) * (-math.log(10000.0) / (d_model // 2)))
+    if temp_bug_fix:
+        temp = -math.log(10000.0) / (d_model // 2)
+    else:
+        temp = (-math.log(10000.0) / d_model) // 2
+    div = np.exp(np.arange(0, d_model // 2, 2) * temp)
     div = div[:, None, None]
     pe[0::4] = np.sin(x_pos * div)
     pe[1::4] = np.cos(x_pos * div)
@@ -203,9 +217,10 @@ class LocalFeatureTransformer(nn.Module):
             f1 = self_l(f1, f1)
             cross_l = LoftrEncoderLayer(self.d_model, self.nhead,
                                         name=f"{self.prefix}{2*i+1}")
-            f0n = cross_l(f0, f1)
-            f1n = cross_l(f1, f0)
-            f0, f1 = f0n, f1n
+            # sequential cross update (transformer.py:94-96): feat1 attends
+            # to the ALREADY-updated feat0
+            f0 = cross_l(f0, f1)
+            f1 = cross_l(f1, f0)
         return f0, f1
 
 
@@ -290,7 +305,7 @@ class LoftrModule(nn.Module):
         B, Hc, Wc, Dc = fc0.shape
         _, Hf, Wf, Df_in = ff0.shape
 
-        pe = jnp.asarray(sine_pos_encoding(Hc, Wc, c.d_coarse))
+        pe = jnp.asarray(sine_pos_encoding(Hc, Wc, c.d_coarse, c.temp_bug_fix))
         f0 = (fc0 + pe[None]).reshape(B, Hc * Wc, Dc)
         f1 = (fc1 + pe[None]).reshape(B, Hc * Wc, Dc)
 
@@ -508,3 +523,48 @@ def convert_torch_state_dict(state_dict: dict, cfg: LoftrCfg = LoftrCfg()):
     dense("fine_preprocess.merge_feat", ("fine_merge_feat",))
 
     return {"params": params, "batch_stats": stats}
+
+
+def load_checkpoint(path: str, cfg: LoftrCfg = LoftrCfg()) -> LoftrMatcher:
+    """Build a LoftrMatcher from a weights file.
+
+    Accepts either a torch checkpoint (``.ckpt``/``.pth`` with a
+    ``state_dict`` key, the reference outdoor_ds.ckpt format that
+    loftr_wrapper.py:24 loads) or an ``.npz`` of already-converted flax
+    params (keys = '/'-joined pytree paths, as written by
+    ``save_params_npz``)."""
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        tree: dict = {}
+        for k in flat.files:
+            node = tree
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(flat[k])
+        params = tree
+    else:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        params = convert_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, cfg
+        )
+    return LoftrMatcher(cfg, params=params)
+
+
+def save_params_npz(params, path: str):
+    """Flatten a converted params pytree to an .npz (fast reload without
+    torch)."""
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, prefix + (k,))
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    walk(params, ())
+    np.savez(path, **flat)

@@ -101,6 +101,37 @@ def _apply_homography(tf: np.ndarray, uv: np.ndarray) -> np.ndarray:
     return h[:, :2] / np.maximum(h[:, 2:3], 1e-12)
 
 
+def make_matcher(cfg: Cfg):
+    """Build the configured matching engine (reference FeatureManager class
+    tree: SiftManager base / GluNet=LoFTR / Lfnet=remote server,
+    FeatureManager.h:98-213).  Returns an object with the standard
+    ``predict(grayAs, grayBs) -> ((B, K, 5), (B, K) valid)`` contract, or
+    None for the built-in jitted corner matcher."""
+    fc = cfg["feature_corres"]
+    name = str(fc.get("matcher", "corner"))
+    if name == "corner":
+        return None
+    if name == "sift":
+        from ..models.matcher import SiftMatcher
+
+        return SiftMatcher(max_matches=int(fc["max_matches_per_pair"]))
+    if name == "loftr":
+        from ..models import loftr_jax
+
+        lcfg = loftr_jax.LoftrCfg(
+            max_matches=int(fc["max_matches_per_pair"])
+        )
+        ckpt = str(fc.get("loftr_ckpt", "") or "")
+        if ckpt:
+            return loftr_jax.load_checkpoint(ckpt, lcfg)
+        return loftr_jax.LoftrMatcher(lcfg)
+    if name == "remote":
+        from ..io.remote_matcher import RemoteMatcher
+
+        return RemoteMatcher(int(fc.get("remote_port", 5555)))
+    raise ValueError(f"unknown feature_corres.matcher: {name!r}")
+
+
 class CorresStore:
     """Per-pair correspondence tables (the reference `_matches` /
     `_raw_matches` maps), keyed by (idA, idB) with idA the newer frame."""
@@ -111,6 +142,8 @@ class CorresStore:
         self.raw: dict[tuple, np.ndarray] = {}
         self.matches: dict[tuple, dict] = {}
         self.tracks = FeatureTracks()
+        # configured matching engine (None = built-in corner matcher)
+        self.matcher = make_matcher(cfg)
 
     def forget_frame(self, fid: int):
         """Erase all matches touching a frame (reference forgetFrame ->
@@ -119,6 +152,16 @@ class CorresStore:
             for k in [k for k in table if fid in k]:
                 del table[k]
         self.tracks.forget_frame(fid)
+
+    def invalidate_matches(self, fid: int):
+        """Erase only the gated matches touching a frame, KEEPING the raw
+        match table: the reference's NeRF-feedback invalidation
+        (bundlesdf.py:607-617) deletes `_matches` so poses re-derive, but
+        `_raw_matches` survives (FeatureManager.h:164-170) and the next
+        find_corres re-gates them without re-running the network
+        (rawMatchesToCorres, FeatureManager.cpp:2720-2769)."""
+        for k in [k for k in self.matches if fid in k]:
+            del self.matches[k]
 
     def n_inliers(self, key: tuple) -> int:
         m = self.matches.get(key)
@@ -189,29 +232,45 @@ def find_corres(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    imgsA, imgsB, tfsA, tfsB = [], [], [], []
-    for fa, fb in pairs:
+    # Raw-match reuse (rawMatchesToCorres, FeatureManager.cpp:2720-2769):
+    # pairs whose raw table survived a match invalidation (NeRF pose
+    # feedback) re-derive correspondences by re-gating + re-RANSACing the
+    # stored pixel matches under the updated poses — the matcher network
+    # does NOT re-run for them.
+    fresh_idx = [i for i, (fa, fb) in enumerate(pairs)
+                 if (fa.id, fb.id) not in store.raw]
+
+    imgsA, imgsB = [], []
+    tfsA = [None] * len(pairs)
+    tfsB = [None] * len(pairs)
+    for i in fresh_idx:
+        fa, fb = pairs[i]
         a, b, ta, tb = process_image_pair(fa, fb, out_size)
-        imgsA.append(a); imgsB.append(b); tfsA.append(ta); tfsB.append(tb)
+        imgsA.append(a); imgsB.append(b); tfsA[i] = ta; tfsB[i] = tb
 
-    # Pad the pair batch to a power-of-2 bucket: the per-frame pair count is
-    # data-dependent, and every distinct batch size would trigger a fresh
-    # XLA compile of the matcher + RANSAC (minutes on TPU).  Padded slots
-    # repeat pair 0 and are discarded below.
-    n_real = len(pairs)
-    n_pad = 1 << max(0, (n_real - 1).bit_length())
-    for _ in range(n_pad - n_real):
-        imgsA.append(imgsA[0]); imgsB.append(imgsB[0])
+    corres_b = valid_b = None
+    if fresh_idx:
+        # Pad the pair batch to a power-of-2 bucket: the per-frame pair
+        # count is data-dependent, and every distinct batch size would
+        # trigger a fresh XLA compile of the matcher + RANSAC (minutes on
+        # TPU).  Padded slots repeat pair 0 and are discarded below.
+        n_fresh = len(fresh_idx)
+        n_pad = 1 << max(0, (n_fresh - 1).bit_length())
+        for _ in range(n_pad - n_fresh):
+            imgsA.append(imgsA[0]); imgsB.append(imgsB[0])
 
-    if matcher_fn is None:
-        res = matcher_mod.match_pairs_batched(
-            jnp.asarray(np.stack(imgsA)), jnp.asarray(np.stack(imgsB)), matcher_cfg
-        )
-        corres_b = np.asarray(res["corres"])[:n_real]
-        valid_b = np.asarray(res["valid"])[:n_real]
-    else:
-        corres_b, valid_b = matcher_fn(np.stack(imgsA), np.stack(imgsB))
-        corres_b, valid_b = corres_b[:n_real], valid_b[:n_real]
+        if matcher_fn is None and store.matcher is not None:
+            matcher_fn = store.matcher.predict
+        if matcher_fn is None:
+            res = matcher_mod.match_pairs_batched(
+                jnp.asarray(np.stack(imgsA)), jnp.asarray(np.stack(imgsB)),
+                matcher_cfg
+            )
+            corres_b = np.asarray(res["corres"])[:n_fresh]
+            valid_b = np.asarray(res["valid"])[:n_fresh]
+        else:
+            corres_b, valid_b = matcher_fn(np.stack(imgsA), np.stack(imgsB))
+            corres_b, valid_b = corres_b[:n_fresh], valid_b[:n_fresh]
 
     rcfg = cfg["ransac"]
     params = ransac_ops.RansacParams(
@@ -222,21 +281,35 @@ def find_corres(
     )
 
     gated = []
+    fresh_pos = {pi: bi for bi, pi in enumerate(fresh_idx)}
     for i, (fa, fb) in enumerate(pairs):
-        sel = valid_b[i]
-        cc = corres_b[i][sel]
-        uvA = _apply_homography(np.linalg.inv(tfsA[i]), cc[:, 0:2])
-        uvB = _apply_homography(np.linalg.inv(tfsB[i]), cc[:, 2:4])
+        if i in fresh_pos:
+            bi = fresh_pos[i]
+            sel = valid_b[bi]
+            cc = corres_b[bi][sel]
+            uvA = _apply_homography(np.linalg.inv(tfsA[i]), cc[:, 0:2])
+            uvB = _apply_homography(np.linalg.inv(tfsB[i]), cc[:, 2:4])
+            # Track propagation (reference MapPoint propagation,
+            # FeatureManager.cpp runRansacBetween prioritizes propagated
+            # matches): pixels linked to both frames through shared
+            # multi-frame tracks join the RANSAC candidate set.
+            pA, pB = store.tracks.propagate(fa.id, fb.id)
+            if len(pA):
+                uvA = np.concatenate([uvA, pA])
+                uvB = np.concatenate([uvB, pB])
+            store.raw[(fa.id, fb.id)] = np.concatenate(
+                [uvA, uvB], axis=-1
+            ).astype(np.float32)[: store.max_matches]
+        else:
+            raw = store.raw[(fa.id, fb.id)]
+            uvA, uvB = raw[:, 0:2].astype(np.float64), raw[:, 2:4].astype(np.float64)
         g = gate_matches_3d(fa, fb, uvA, uvB, store.max_matches)
-        store.raw[(fa.id, fb.id)] = np.concatenate(
-            [g["uvA"], g["uvB"]], axis=-1
-        ).astype(np.uint16)
         gated.append(g)
 
     # Model-frame points for RANSAC (reference runRansacMultiPairGPU host
-    # glue transforms matches by the current poses).  Same power-of-2
-    # padding as the matcher batch (padded pairs are all-invalid).
-    P = n_pad
+    # glue transforms matches by the current poses).  Power-of-2 padding
+    # over ALL pairs (fresh + raw-reused; padded slots are all-invalid).
+    P = 1 << max(0, (len(pairs) - 1).bit_length())
     M = store.max_matches
     ptsA = np.zeros((P, M, 3), np.float32)
     ptsB = np.zeros((P, M, 3), np.float32)

@@ -55,7 +55,8 @@ def small_cfg():
     return loftr_jax.LoftrCfg(max_matches=128)
 
 
-def test_sine_pos_encoding_matches_torch_impl():
+@pytest.mark.parametrize("bug_fix", [True, False])
+def test_sine_pos_encoding_matches_torch_impl(bug_fix):
     if not torch_available():
         pytest.skip("torch missing")
     import torch
@@ -63,10 +64,10 @@ def test_sine_pos_encoding_matches_torch_impl():
     PositionEncodingSine = mod.PositionEncodingSine
 
     d = 256
-    pe_t = PositionEncodingSine(d, max_shape=(32, 32), temp_bug_fix=True)
+    pe_t = PositionEncodingSine(d, max_shape=(32, 32), temp_bug_fix=bug_fix)
     x = torch.zeros(1, d, 16, 20)
     out_t = pe_t(x)[0].numpy()  # (C, H, W)
-    pe_j = loftr_jax.sine_pos_encoding(16, 20, d)  # (H, W, C)
+    pe_j = loftr_jax.sine_pos_encoding(16, 20, d, temp_bug_fix=bug_fix)
     np.testing.assert_allclose(np.moveaxis(out_t, 0, -1), pe_j, atol=1e-5)
 
 
@@ -127,6 +128,230 @@ def test_encoder_layer_parity_with_torch():
     jl = loftr_jax.LoftrEncoderLayer(256, 8)
     out_j = jl.apply({"params": params}, jnp.asarray(x), jnp.asarray(s))
     np.testing.assert_allclose(np.asarray(out_j), out_t, atol=2e-4)
+
+
+def install_oracle_stubs():
+    """Inject minimal yacs/kornia stand-ins so the reference LoFTR modules
+    (which import them) can be loaded as numeric oracles.  The stubs
+    implement only the documented public semantics these modules use:
+    yacs.config.CfgNode = attribute dict; kornia create_meshgrid /
+    spatial_expectation2d = normalized meshgrid + probability-weighted
+    expectation."""
+    import types
+    import torch
+
+    if "yacs" not in sys.modules:
+        class CN(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        yacs = types.ModuleType("yacs")
+        config = types.ModuleType("yacs.config")
+        config.CfgNode = CN
+        yacs.config = config
+        sys.modules["yacs"] = yacs
+        sys.modules["yacs.config"] = config
+
+    if "kornia" not in sys.modules:
+        def create_meshgrid(H, W, normalized_coordinates=True, device=None,
+                            dtype=None):
+            if normalized_coordinates:
+                xs = torch.linspace(-1, 1, W, device=device)
+                ys = torch.linspace(-1, 1, H, device=device)
+            else:
+                xs = torch.arange(W, device=device).float()
+                ys = torch.arange(H, device=device).float()
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+            return torch.stack([gx, gy], dim=-1)[None]  # (1, H, W, 2)
+
+        def spatial_expectation2d(heatmap, normalized_coordinates=True):
+            B, M, H, W = heatmap.shape
+            grid = create_meshgrid(
+                H, W, normalized_coordinates, heatmap.device
+            ).reshape(1, 1, H * W, 2)
+            return (heatmap.reshape(B, M, H * W, 1) * grid).sum(2)
+
+        kornia = types.ModuleType("kornia")
+        geometry = types.ModuleType("kornia.geometry")
+        subpix = types.ModuleType("kornia.geometry.subpix")
+        dsnt = types.ModuleType("kornia.geometry.subpix.dsnt")
+        utils = types.ModuleType("kornia.utils")
+        grid_mod = types.ModuleType("kornia.utils.grid")
+        dsnt.spatial_expectation2d = spatial_expectation2d
+        grid_mod.create_meshgrid = create_meshgrid
+        subpix.dsnt = dsnt
+        geometry.subpix = subpix
+        utils.grid = grid_mod
+        kornia.geometry = geometry
+        kornia.utils = utils
+        for name, m in {
+            "kornia": kornia,
+            "kornia.geometry": geometry,
+            "kornia.geometry.subpix": subpix,
+            "kornia.geometry.subpix.dsnt": dsnt,
+            "kornia.utils": utils,
+            "kornia.utils.grid": grid_mod,
+        }.items():
+            sys.modules[name] = m
+
+
+def test_coarse_matching_parity_with_torch():
+    """Dual-softmax conf matrix + coarse match selection vs the reference
+    CoarseMatching module (coarse_matching.py:109-196)."""
+    if not torch_available():
+        pytest.skip("torch missing")
+    import torch
+    install_oracle_stubs()
+    mod = load_ref_module("coarse_matching", "src/loftr/utils/coarse_matching.py")
+
+    Hc = Wc = 8
+    L = Hc * Wc
+    C = 32
+    thr, border_rm, temp = 0.05, 2, 0.1
+    rng = np.random.RandomState(3)
+    f0 = rng.randn(2, L, C).astype(np.float32)
+    f1 = rng.randn(2, L, C).astype(np.float32)
+
+    cm = mod.CoarseMatching({
+        "thr": thr, "border_rm": border_rm, "match_type": "dual_softmax",
+        "dsmax_temperature": temp, "train_coarse_percent": 0.4,
+        "train_pad_num_gt_min": 20,
+    })
+    cm.eval()
+    data = {"hw0_i": (Hc * 8, Wc * 8), "hw1_i": (Hc * 8, Wc * 8),
+            "hw0_c": (Hc, Wc), "hw1_c": (Hc, Wc)}
+    with torch.no_grad():
+        cm(torch.from_numpy(f0), torch.from_numpy(f1), data)
+
+    conf_j = loftr_jax.dual_softmax_conf(jnp.asarray(f0), jnp.asarray(f1), temp)
+    np.testing.assert_allclose(
+        np.asarray(conf_j), data["conf_matrix"].numpy(), atol=1e-5
+    )
+
+    i_ids, j_ids, mconf, valid = loftr_jax.coarse_match_fixed(
+        conf_j, Hc, Wc, thr, border_rm, K=L
+    )
+    got = {
+        (int(b), int(i), int(j)): float(c)
+        for b in range(2)
+        for i, j, c, v in zip(
+            np.asarray(i_ids[b]), np.asarray(j_ids[b]),
+            np.asarray(mconf[b]), np.asarray(valid[b]))
+        if v
+    }
+    want = {
+        (int(b), int(i), int(j)): float(c)
+        for b, i, j, c in zip(
+            data["b_ids"].numpy(), data["i_ids"].numpy(),
+            data["j_ids"].numpy(), data["mconf"].numpy())
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-5
+
+
+def test_fine_matching_parity_with_torch():
+    """Expectation-over-heatmap fine refinement vs the reference
+    FineMatching module (fine_matching.py:15-75)."""
+    if not torch_available():
+        pytest.skip("torch missing")
+    import torch
+    install_oracle_stubs()
+    mod = load_ref_module("fine_matching", "src/loftr/utils/fine_matching.py")
+
+    M, W, C = 7, 5, 16
+    WW = W * W
+    rng = np.random.RandomState(4)
+    w0 = rng.randn(M, WW, C).astype(np.float32)
+    w1 = rng.randn(M, WW, C).astype(np.float32)
+    mk0_c = rng.randint(0, 100, (M, 2)).astype(np.float32)
+    mk1_c = rng.randint(0, 100, (M, 2)).astype(np.float32)
+
+    fm = mod.FineMatching()
+    fm.eval()
+    data = {
+        "hw0_i": (64, 64), "hw0_f": (32, 32),
+        "mkpts0_c": torch.from_numpy(mk0_c), "mkpts1_c": torch.from_numpy(mk1_c),
+        "b_ids": torch.zeros(M, dtype=torch.long),
+        "mconf": torch.ones(M),
+    }
+    with torch.no_grad():
+        fm(torch.from_numpy(w0), torch.from_numpy(w1), data)
+
+    coords = loftr_jax.fine_expectation(jnp.asarray(w0), jnp.asarray(w1), W)
+    scale = 64 // 32
+    mk1_f_j = mk1_c + np.asarray(coords) * (W // 2) * scale
+    np.testing.assert_allclose(mk1_f_j, data["mkpts1_f"].numpy(), atol=1e-4)
+    np.testing.assert_allclose(mk0_c, data["mkpts0_f"].numpy(), atol=1e-6)
+
+
+def test_full_model_parity_with_torch():
+    """End-to-end numeric parity of the converted-weights path: a randomly
+    initialized reference LoFTR (built exactly as loftr_wrapper.py:21-24
+    builds it, from cvpr_ds_config default_cfg) vs this module with
+    convert_torch_state_dict weights, on the same image pair."""
+    if not torch_available():
+        pytest.skip("torch missing")
+    import torch
+    install_oracle_stubs()
+    sys.path.insert(0, LOFTR_SRC)
+    try:
+        from src.loftr import LoFTR
+        from src.loftr.utils.cvpr_ds_config import default_cfg
+    finally:
+        sys.path.pop(0)
+
+    cfg_t = {k: (dict(v) if isinstance(v, dict) else v)
+             for k, v in default_cfg.items()}
+    cfg_t["match_coarse"] = dict(cfg_t["match_coarse"])
+    cfg_t["match_coarse"]["thr"] = 0.0  # random weights: keep all matches
+    torch.manual_seed(7)
+    tmodel = LoFTR(config=cfg_t)
+    tmodel.eval()
+
+    H = W = 64
+    rng = np.random.RandomState(5)
+    img0 = rng.rand(1, H, W).astype(np.float32)
+    img1 = rng.rand(1, H, W).astype(np.float32)
+    data = {
+        "image0": torch.from_numpy(img0[:, None]),
+        "image1": torch.from_numpy(img1[:, None]),
+    }
+    with torch.no_grad():
+        tmodel(data)
+    want = {}
+    for i, j, u0, v0, u1, v1, c in zip(
+        data["i_ids"].numpy(), data["j_ids"].numpy(),
+        *data["mkpts0_f"].numpy().T, *data["mkpts1_f"].numpy().T,
+        data["mconf"].numpy(),
+    ):
+        want[(int(i), int(j))] = (u0, v0, u1, v1, c)
+
+    cfg_j = loftr_jax.LoftrCfg(thr=0.0, max_matches=64, temp_bug_fix=False)
+    params = loftr_jax.convert_torch_state_dict(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}, cfg_j
+    )
+    matcher = loftr_jax.LoftrMatcher(cfg_j, params=params)
+    corres, valid = matcher.predict(img0, img1)
+    got = {}
+    for row, v in zip(corres[0], valid[0]):
+        if v:
+            i = int(row[1] // 8) * (W // 8) + int(row[0] // 8)
+            # j from the coarse part of the fine coords is not recoverable
+            got[i] = row
+    want_by_i = {i: vals for (i, j), vals in want.items()}
+    assert set(got) == set(want_by_i)
+    for i, row in got.items():
+        u0, v0, u1, v1, c = want_by_i[i]
+        np.testing.assert_allclose(row[0:2], [u0, v0], atol=1e-3)
+        np.testing.assert_allclose(row[2:4], [u1, v1], atol=0.05)
+        assert abs(row[4] - c) < 1e-4
 
 
 def test_full_matcher_smoke_and_self_match():

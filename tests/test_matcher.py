@@ -89,3 +89,30 @@ def test_sift_matcher_identity_and_shift():
     d = c[:, 2:4] - c[:, :2]
     med = np.median(d, axis=0)
     np.testing.assert_allclose(med, [4.0, 7.0], atol=0.7)
+
+
+def test_make_matcher_factory():
+    """feature_corres.matcher selects the engine (reference FeatureManager
+    class tree seam, Bundler.cpp:51 picks GluNet)."""
+    import pytest
+
+    from bundlesdf_tpu.config import default_track_config
+    from bundlesdf_tpu.models.loftr_jax import LoftrMatcher
+    from bundlesdf_tpu.tracking.corres import make_matcher
+
+    cfg = default_track_config()
+    assert make_matcher(cfg) is None  # corner = built-in jitted path
+
+    cfg["feature_corres"]["matcher"] = "sift"
+    assert isinstance(make_matcher(cfg), matcher.SiftMatcher)
+
+    cfg["feature_corres"]["matcher"] = "loftr"
+    eng = make_matcher(cfg)
+    assert isinstance(eng, LoftrMatcher)
+    assert eng.cfg.max_matches == int(
+        cfg["feature_corres"]["max_matches_per_pair"]
+    )
+
+    cfg["feature_corres"]["matcher"] = "nope"
+    with pytest.raises(ValueError):
+        make_matcher(cfg)

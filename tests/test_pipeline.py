@@ -56,6 +56,49 @@ def test_tracking_only_cube_sequence():
 
 
 @pytest.mark.slow
+def test_tracking_with_sift_engine():
+    """feature_corres.matcher=sift plumbs through find_corres end-to-end."""
+    data = make_cube_sequence(n_frames=5, deg_per_frame=3.0)
+    cfg = small_track_cfg()
+    cfg["feature_corres"]["matcher"] = "sift"
+    tracker = BundleSdf(cfg_track=cfg, use_nof=False)
+    for k in range(5):
+        tracker.run(
+            data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+            mask=data["masks"][k],
+        )
+    assert len(tracker.poses_log) == 5
+    preds = np.stack([tracker.poses_log[f"{k:04d}"] for k in range(5)])
+    model_pts = cube_model_points(data["half"])
+    res = metrics.trajectory_add_auc(
+        preds, data["gt_ob_in_cam"][:5], model_pts, max_val=0.1
+    )
+    assert res["mean_add"] < 0.02, res
+
+
+@pytest.mark.slow
+def test_tracking_with_loftr_engine_runs():
+    """feature_corres.matcher=loftr (random weights) runs the pipeline
+    end-to-end: every frame gets a pose logged (FAIL frames fall back to
+    the propagated reference pose), no crashes, static shapes hold."""
+    data = make_cube_sequence(n_frames=3, deg_per_frame=3.0)
+    cfg = small_track_cfg()
+    cfg["feature_corres"]["matcher"] = "loftr"
+    cfg["feature_corres"]["resize"] = 96
+    cfg["feature_corres"]["max_matches_per_pair"] = 128
+    tracker = BundleSdf(cfg_track=cfg, use_nof=False)
+    from bundlesdf_tpu.models.loftr_jax import LoftrMatcher
+
+    assert isinstance(tracker.bundler.store.matcher, LoftrMatcher)
+    for k in range(3):
+        tracker.run(
+            data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+            mask=data["masks"][k],
+        )
+    assert len(tracker.poses_log) == 3
+
+
+@pytest.mark.slow
 def test_joint_loop_with_nof_smoke():
     data = make_cube_sequence(n_frames=6, deg_per_frame=6.0)
     tracker = BundleSdf(

@@ -342,6 +342,7 @@ class NofRunner:
         self.rcfg = nof_render.RenderCfg(
             n_samples=int(cfg["N_samples"]),
             n_samples_around_depth=int(cfg["N_samples_around_depth"]),
+            n_importance=int(cfg.get("N_importance", 0)),
             n_march=max(128, self.occ_resolution * 2),
             sdf_lambda=float(cfg["sdf_lambda"]),
             neg_trunc_ratio=float(cfg["neg_trunc_ratio"]),
@@ -830,6 +831,13 @@ class NofRunner:
         glcam = np.asarray(geometry.GLCAM_IN_CVCAM)
         out = np.einsum("nij,jk->nik", optimized, offset)
         out = np.einsum("nij,jk->nik", out, glcam)
+        # Re-orthonormalize before feeding back into the tracker: these
+        # poses become keyframe poses and seed further compose chains; any
+        # residual SO(3) drift would accumulate (host SVD of N 3x3s, free).
+        U, _, Vt = np.linalg.svd(out[:, :3, :3])
+        det = np.linalg.det(U @ Vt)
+        D = np.stack([np.ones_like(det), np.ones_like(det), det], axis=-1)
+        out[:, :3, :3] = np.einsum("nij,nj,njk->nik", U, D, Vt)
         return out.astype(np.float32), offset.astype(np.float32)
 
     # ------------------------------------------------------------------

@@ -58,6 +58,7 @@ def _sample_indices(key, n_pairs: int, n_trials: int, n_matches: int, weights):
 
 
 @partial(jax.jit, static_argnames=("params",))
+@se3.f32_precision
 def ransac_multi_pair(
     key: jax.Array,
     pts_a: jnp.ndarray,
@@ -196,6 +197,7 @@ def ransac_multi_pair(
 
 
 @jax.jit
+@se3.f32_precision
 def procrustes_by_correspondence(
     pts_a: jnp.ndarray,
     pts_b: jnp.ndarray,

@@ -209,6 +209,7 @@ def solve_gn_step(H, b, fixed, n_frames: int, damping: float):
 
 
 @partial(jax.jit, static_argnames=("params", "n_frames"))
+@se3.f32_precision
 def bundle_adjust(
     poses: jnp.ndarray,
     fixed: jnp.ndarray,

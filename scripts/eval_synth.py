@@ -96,11 +96,15 @@ def main():
             d_c2m, _ = cKDTree(verts).query(surf, k=1, workers=-1)
             chamfer = float((d_m2c.mean() + d_c2m.mean()) / 2 * 100)  # cm
 
+    dets = np.linalg.det(preds[:, :3, :3])
     print(json.dumps({
         "frames": len(A),
         "pose_terr_max_cm": round(float(terr.max() * 100), 3),
         "pose_terr_mean_cm": round(float(terr.mean() * 100), 3),
         "pose_rot_max_deg": round(float(rot.max()), 2),
+        # SO(3) health of the saved poses: drift below ~0.999 inflates the
+        # trace-based rotation metric and biases long compose chains
+        "pose_det_min": round(float(dets.min()), 5),
         "mesh": os.path.basename(mesh_path) if mesh_path else None,
         "chamfer_cm": round(chamfer, 3) if chamfer is not None else None,
     }))

@@ -251,9 +251,14 @@ def marching_tetrahedra(
     return Mesh(verts, faces[good])
 
 
-def largest_component(mesh: Mesh) -> Mesh:
+def largest_component(mesh: Mesh, near_origin: float | None = None) -> Mesh:
     """Keep the largest face-connected component (reference
-    bundlesdf.py:747-760 trimesh_split + largest-component cleanup)."""
+    bundlesdf.py:747-760 trimesh_split + largest-component cleanup).
+
+    ``near_origin``: if set, only components whose closest vertex is within
+    this distance of the origin are eligible (reference
+    benchmark_ho3d.py:106-115 floater rejection); falls back to the overall
+    largest if none qualifies."""
     if len(mesh.faces) == 0:
         return mesh
     nv = len(mesh.vertices)
@@ -265,6 +270,13 @@ def largest_component(mesh: Mesh) -> Mesh:
     if n <= 1:
         return mesh
     counts = np.bincount(labels, minlength=n)
+    if near_origin is not None:
+        dists = np.linalg.norm(mesh.vertices, axis=-1)
+        min_d = np.full(n, np.inf)
+        np.minimum.at(min_d, labels, dists)
+        eligible = min_d <= near_origin
+        if eligible.any():
+            counts = np.where(eligible, counts, 0)
     keep_label = counts.argmax()
     keep_v = labels == keep_label
     remap = -np.ones(nv, dtype=np.int64)
@@ -307,6 +319,63 @@ def export_obj(mesh: Mesh, path: str):
                 fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for f in mesh.faces:
             fh.write(f"f {f[0]+1} {f[1]+1} {f[2]+1}\n")
+
+
+def load_ply(path: str) -> Mesh:
+    """Minimal PLY reader (ascii / binary_little_endian), vertices + optional
+    faces + extra per-vertex properties (skipped).  Enough for the HO3D
+    ``visible_mesh.ply`` GT point clouds (reference benchmark_ho3d.py:83)."""
+    with open(path, "rb") as fh:
+        fmt = None
+        n_vert = n_face = 0
+        vert_props: list[tuple[str, str]] = []  # (dtype, name)
+        in_vertex = False
+        while True:
+            line = fh.readline().decode("ascii", "replace").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
+                n_vert = int(line.split()[-1])
+                in_vertex = True
+            elif line.startswith("element face"):
+                n_face = int(line.split()[-1])
+                in_vertex = False
+            elif line.startswith("element"):
+                in_vertex = False
+            elif line.startswith("property") and in_vertex:
+                _, dtype, name = line.split()[:3]
+                vert_props.append((dtype, name))
+            elif line == "end_header":
+                break
+        np_types = {
+            "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "<i2", "ushort": "<u2", "int": "<i4", "int32": "<i4",
+            "uint": "<u4", "uint32": "<u4",
+        }
+        if fmt == "ascii":
+            rows = [fh.readline().split() for _ in range(n_vert)]
+            names = [n for _, n in vert_props]
+            arr = np.array(rows, dtype=np.float64)
+            verts = arr[:, [names.index("x"), names.index("y"), names.index("z")]]
+            faces = []
+            for _ in range(n_face):
+                parts = fh.readline().split()
+                faces.append([int(parts[1]), int(parts[2]), int(parts[3])])
+        elif fmt == "binary_little_endian":
+            rec = np.dtype([(n, np_types[t]) for t, n in vert_props])
+            data = np.frombuffer(fh.read(rec.itemsize * n_vert), dtype=rec)
+            verts = np.stack([data["x"], data["y"], data["z"]], axis=-1).astype(np.float64)
+            faces = []
+            for _ in range(n_face):
+                (cnt,) = np.frombuffer(fh.read(1), dtype=np.uint8)
+                idx = np.frombuffer(fh.read(4 * cnt), dtype="<i4")
+                faces.append(list(idx[:3]))
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported ply format {fmt!r}")
+    faces_arr = (np.asarray(faces, dtype=np.int64) if faces
+                 else np.zeros((0, 3), dtype=np.int64))
+    return Mesh(np.asarray(verts), faces_arr)
 
 
 def load_obj(path: str) -> Mesh:

@@ -170,6 +170,73 @@ class Bundler:
                         break
                     best = max(rest, key=lambda k: self.covisibility(nf, k))
                 chosen[best.id] = best
+        elif method == "max_edge":
+            # DFS over frame subsets rooted at keyframe 0 that reach the
+            # new frame, maximizing the subset's total pairwise match count
+            # (Bundler.cpp:581-591 + maxNumEdgePathDfs :612-686).  The
+            # reference runs the matcher on unseen pairs *inside* the DFS
+            # ("Super slow" per its own comment); here the edge indicator
+            # is the already-tracked inlier count with covisibility as the
+            # optimistic proxy for not-yet-matched pairs, so selection
+            # never launches the matcher.
+            min_vis = float(self.cfg["bundle"]["non_neighbor_min_visible"])
+            kf0 = self.keyframes[0]
+            pool_f = list(self.keyframes[1:]) + [nf]
+
+            def n_matches(a, b):
+                key = (max(a.id, b.id), min(a.id, b.id))
+                m = self.store.matches.get(key)
+                return 0 if not m else int(m["inlier"].sum())
+
+            def has_edge(a, b):
+                key = (max(a.id, b.id), min(a.id, b.id))
+                if key in self.store.matches:
+                    m = self.store.matches[key]
+                    return m is not None and m["inlier"].any()
+                return self.covisibility(a, b) >= min_vis
+
+            best_path: dict | None = None
+            best_n = -1
+            visited: set = set()
+            budget = [20000]  # bound the exponential search (the memoized
+            # reference has no bound; with pools of hundreds of keyframes
+            # that is not acceptable online)
+
+            def dfs(cur, path: dict):
+                nonlocal best_path, best_n
+                key = frozenset(path)
+                if key in visited or budget[0] <= 0:
+                    return
+                visited.add(key)
+                budget[0] -= 1
+                if len(path) == max_frames:
+                    if nf.id in path:
+                        fr = list(path.values())
+                        total = sum(
+                            n_matches(fr[i], fr[j])
+                            for i in range(len(fr))
+                            for j in range(i + 1, len(fr))
+                        )
+                        if total > best_n:
+                            best_n = total
+                            best_path = dict(path)
+                    return
+                for kf in pool_f:
+                    if kf.id in path or not has_edge(cur, kf):
+                        continue
+                    path[kf.id] = kf
+                    dfs(kf, path)
+                    del path[kf.id]
+
+            dfs(kf0, {kf0.id: kf0})
+            if best_path is not None:
+                chosen = best_path
+            else:  # fall back to covisibility ranking
+                vis = [(self.covisibility(nf, kf), kf) for kf in self.keyframes]
+                for _, kf in sorted(vis, key=lambda x: -x[0]):
+                    if len(chosen) >= max_frames:
+                        break
+                    chosen[kf.id] = kf
         elif method == "near_enough_rot":
             # Chain from keyframe 0 to the new frame through rotation-near
             # hops (Bundler.cpp:592-601 nearEnoughRotSearch, greedy variant

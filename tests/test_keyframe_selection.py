@@ -11,6 +11,7 @@ from bundlesdf_tpu.tracking.pool import Bundler
 METHODS = [
     "greedy_rot", "nearest_rotations", "normal_orientation_nearest",
     "normal_orientation_greedy", "greedy_covisible_points", "near_enough_rot",
+    "max_edge",
 ]
 
 
@@ -60,3 +61,67 @@ def test_nearest_rotations_picks_rotationally_close():
     b.select_keyframes_for_ba()
     ids = set(f.id for f in b.local_frames)
     assert ids == {6, 7, 99}
+
+
+def test_max_edge_prefers_strongly_matched_subset():
+    """max_edge DFS (Bundler.cpp:581-591): with a budget of 3 (kf0 + new +
+    one more), the keyframe holding the most inlier matches to both
+    anchors must win over a rotation-nearer but unmatched keyframe."""
+    cfg = default_track_config()
+    cfg["bundle"]["max_BA_frames"] = 3
+    cfg["bundle"]["subset_selection_method"] = "max_edge"
+    b = Bundler(cfg)
+    for i in range(4):
+        f = _frame(i, 10.0 * i, cfg)
+        b.keyframes.append(f)
+        if i == 0:
+            b.firstframe = f
+    nf = _frame(99, 35.0, cfg)
+    b.newframe = nf
+
+    def fake_match(ida, idb, n):
+        key = (max(ida, idb), min(ida, idb))
+        inl = np.zeros(16, bool)
+        inl[:n] = True
+        b.store.matches[key] = {"inlier": inl}
+
+    # kf2 is strongly matched to both anchors; kf3 is rotation-nearest to
+    # the new frame but shares no matches
+    fake_match(0, 2, 10)
+    fake_match(99, 2, 12)
+    fake_match(99, 3, 1)
+    fake_match(0, 1, 2)
+    fake_match(99, 1, 2)
+    b.select_keyframes_for_ba()
+    ids = {f.id for f in b.local_frames}
+    assert ids == {0, 2, 99}, ids
+
+
+def test_strategy_comparison_on_synthetic_pool():
+    """All 7 reference strategies run on one pool and give valid subsets;
+    the covisibility/match-driven ones pick different members than the
+    rotation-driven ones (sanity that the knob changes behavior)."""
+    picks = {}
+    for method in METHODS:
+        cfg = default_track_config()
+        cfg["bundle"]["max_BA_frames"] = 4
+        cfg["bundle"]["subset_selection_method"] = method
+        b = Bundler(cfg)
+        for i in range(10):
+            f = _frame(i, 12.0 * i, cfg)
+            b.keyframes.append(f)
+            if i == 0:
+                b.firstframe = f
+        nf = _frame(99, 100.0, cfg)
+        b.newframe = nf
+        inl = np.ones(8, bool)
+        b.store.matches[(99, 2)] = {"inlier": inl}
+        b.store.matches[(2, 0)] = {"inlier": inl}
+        b.select_keyframes_for_ba()
+        ids = frozenset(f.id for f in b.local_frames)
+        assert 99 in ids and len(ids) <= 4
+        picks[method] = ids
+    assert 2 in picks["max_edge"]
+    assert 2 in picks["greedy_covisible_points"]
+    # rotation-nearest ignores the match graph entirely
+    assert picks["nearest_rotations"] != picks["max_edge"]

@@ -47,6 +47,7 @@ class RenderCfg(NamedTuple):
 
     n_samples: int = 128
     n_samples_around_depth: int = 64
+    n_importance: int = 0
     n_march: int = 256
     sdf_lambda: float = 5.0
     neg_trunc_ratio: float = 1.0
@@ -149,6 +150,7 @@ def render_rays(
     Returns dict: rgb_map (N,3), raw (N,S,4), z_vals (N,S), valid_samples
     (N,S), weights (N,S).
     """
+    key, k_imp = jax.random.split(key)
     rays_d = ray_batch[:, RAY_DIR]
     frame_ids = ray_batch[:, RAY_FRAME_ID].astype(jnp.int32)
     depth = ray_batch[:, RAY_DEPTH]
@@ -179,6 +181,49 @@ def render_rays(
     weights = jnp.where(valid_samples, weights, 0.0)
     rgb = jax.nn.sigmoid(raw[..., :3])
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+
+    if cfg.n_importance > 0:
+        # Hierarchical importance resampling (reference nerf_runner.py:
+        # 1088-1112, single-shared-model branch): draw n_importance extra
+        # z's from the first pass's weight pdf, query only the new points,
+        # merge-sort both sample sets, recomposite.  Deviation from the
+        # reference: its final raw2outputs call omits `depth` and would
+        # crash inside its depth-dependent sdf2weights (the path ships
+        # disabled, config.yml:20) — we recomposite with the same depth.
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samp = sample_pdf(
+            k_imp, z_mid, weights[..., 1:-1], cfg.n_importance,
+            det=not cfg.perturb,
+        )
+        z_samp = jax.lax.stop_gradient(z_samp)
+        pts_cam_i = rays_d[:, None, :] * z_samp[..., None]
+        pts_w_i = (jnp.einsum("nij,nsj->nsi", tf[:, :3, :3], pts_cam_i)
+                   + tf[:, None, :3, 3])
+        raw_i, valid_i = nof_model.nof_forward(
+            params, spec, pts_w_i, dirs_w, frame_ids
+        )
+        # rays with no valid first-pass sample stay invalid (reference
+        # valid_samples_importance zeroing, nerf_runner.py:1095-1096)
+        any_valid = valid_samples.any(axis=-1, keepdims=True)
+        valid_i = valid_i & any_valid
+
+        z_all = jnp.concatenate([z_vals, z_samp], axis=-1)
+        order = jnp.argsort(z_all, axis=-1)
+        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
+        raw = jnp.take_along_axis(
+            jnp.concatenate([raw, raw_i], axis=1), order[..., None], axis=1
+        )
+        valid_samples = jnp.take_along_axis(
+            jnp.concatenate([valid_samples, valid_i], axis=-1), order, axis=-1
+        )
+        pts_w = jnp.take_along_axis(
+            jnp.concatenate([pts_w, pts_w_i], axis=1), order[..., None], axis=1
+        )
+        weights = sdf2weights(raw[..., 3], z_vals, depth, truncation, cfg)
+        weights = jnp.where(valid_samples, weights, 0.0)
+        rgb = jax.nn.sigmoid(raw[..., :3])
+        rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+
     return {
         "rgb_map": rgb_map,
         "raw": raw,

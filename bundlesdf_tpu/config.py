@@ -266,6 +266,8 @@ def default_nof_config() -> Cfg:
             "ray_pool_reserve_log2": 0,
             "ray_pool_max_log2": 23,
             "loop_chunk": 50,
+            # i_weights cadence writes a resumable (full=True) checkpoint
+            "ckpt_full": False,
             "max_kf_pool": 300,
             "save_dir": "/tmp/bundlesdf_tpu_nof",
         }

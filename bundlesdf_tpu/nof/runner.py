@@ -296,6 +296,7 @@ class NofRunner:
         K: np.ndarray,
         build_octree_pts: np.ndarray,
         occ_masks: np.ndarray | None = None,
+        rays_np: np.ndarray | None = None,
     ):
         self.cfg = cfg
         self.K = np.asarray(K, dtype=np.float32)
@@ -414,7 +415,14 @@ class NofRunner:
             self._mesh = None
             self._train_many = make_train_loop(st, self.optimizer)
 
-        self.rays_np = self._build_all_rays(range(self.n_frames))
+        if rays_np is not None:
+            # Resume path (from_checkpoint): reuse the persisted ray pool
+            # instead of rebuilding it from images — the pool may have been
+            # accumulated across several add_new_frames rounds whose poses
+            # at build time are not recoverable from the current state.
+            self.rays_np = np.asarray(rays_np, dtype=np.float32)
+        else:
+            self.rays_np = self._build_all_rays(range(self.n_frames))
         self._upload_rays()
 
     # ------------------------------------------------------------------
@@ -623,7 +631,12 @@ class NofRunner:
                 import os
 
                 os.makedirs(self.cfg["save_dir"], exist_ok=True)
-                self.save_weights(f"{self.cfg['save_dir']}/model_latest.pth")
+                # ckpt_full: persist the ray pool/images too so the session
+                # is killable+resumable (from_checkpoint) at i_weights cost
+                self.save_weights(
+                    f"{self.cfg['save_dir']}/model_latest.pth",
+                    full=bool(self.cfg.get("ckpt_full", False)),
+                )
                 next_ckpt += i_weights
         return jax.tree_util.tree_map(lambda x: float(x), metrics)
 
@@ -841,28 +854,73 @@ class NofRunner:
         return out.astype(np.float32), offset.astype(np.float32)
 
     # ------------------------------------------------------------------
-    def save_weights(self, path: str):
+    def save_weights(self, path: str, full: bool = False):
         """Checkpoint params/optimizer/step/occupancy (reference
         save_weights nerf_runner.py:526-548 saves model + embedders +
-        pose/feature arrays + optimizer + pickled octree)."""
+        pose/feature arrays + optimizer + pickled octree).
+
+        ``full=True`` additionally persists the training inputs (images,
+        depths, masks, ray pool, fused build cloud, PRNG key) so a killed
+        session resumes exactly via :meth:`from_checkpoint` — the reference
+        relied on the caller keeping ``images`` alive in the process; a
+        resumable TPU session must persist them."""
         import pickle
 
         flat_params = jax.tree_util.tree_map(np.asarray, self.params)
         flat_opt = jax.tree_util.tree_map(np.asarray, self.opt_state)
-        with open(path, "wb") as f:
-            pickle.dump(
-                {
-                    "params": flat_params,
-                    "opt_state": flat_opt,
-                    "global_step": self.global_step,
-                    "occ_grid": np.asarray(self.occ_grid),
-                    "c2w": self.c2w_np,
-                    "n_frames": self.n_frames,
-                    "sc_factor": float(self.cfg["sc_factor"]),
-                    "translation": list(self.cfg["translation"]),
-                },
-                f,
+        ckpt = {
+            "params": flat_params,
+            "opt_state": flat_opt,
+            "global_step": self.global_step,
+            "occ_grid": np.asarray(self.occ_grid),
+            "c2w": self.c2w_np,
+            "n_frames": self.n_frames,
+            "sc_factor": float(self.cfg["sc_factor"]),
+            "translation": list(self.cfg["translation"]),
+        }
+        if full:
+            ckpt.update(
+                images=self.images,
+                depths=self.depths,
+                masks=self.masks,
+                occ_masks=self.occ_masks,
+                K=self.K,
+                rays=self.rays_np,
+                build_pts=getattr(self, "_build_pts", np.zeros((0, 3), np.float32)),
+                key=np.asarray(self.key),
             )
+        with open(path, "wb") as f:
+            pickle.dump(ckpt, f)
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Cfg, path: str) -> "NofRunner":
+        """Reconstruct a runner from a ``save_weights(full=True)`` file and
+        continue training bit-identically (mid-session resume; the
+        reference's load_weights nerf_runner.py:551-574 restores only
+        weights and needs the caller to re-feed frames)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        if "rays" not in ckpt:
+            raise ValueError(
+                f"{path} is a weights-only checkpoint; resume needs "
+                "save_weights(full=True)")
+        n = int(ckpt["n_frames"])
+        runner = cls(
+            cfg,
+            ckpt["images"],
+            ckpt["depths"],
+            ckpt["masks"],
+            ckpt["c2w"][:n],
+            ckpt["K"],
+            ckpt["build_pts"],
+            occ_masks=ckpt["occ_masks"],
+            rays_np=ckpt["rays"],
+        )
+        runner.load_weights(path)
+        runner.key = jnp.asarray(ckpt["key"])
+        return runner
 
     def load_weights(self, path: str):
         """Restore a checkpoint (reference load_weights

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""HO3D-difficulty synthetic benchmark (VERDICT r1 #3).
+
+Generates the hard blob fixture (tests/synthetic_hard.py: non-convex
+textured object, 90-degree-plus total rotation, moving finger occluder,
+depth noise), runs the full online pipeline once per matcher engine, and
+reports ADD / ADD-S AUC + mean errors through the same mechanics as
+scripts/benchmark_ho3d.py (first-frame alignment, 0.1 m AUC threshold —
+reference /root/reference/benchmark_ho3d.py:18-139), plus mesh chamfer
+against the analytic union surface.
+
+Usage:
+  python scripts/benchmark_synth.py [--out EVAL_synth.json]
+      [--matchers corner,sift] [--frames 14] [--deg 7] [--workdir /tmp/synth_hard]
+Writes one JSON file with a section per matcher.
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def run_engine(video_dir, out_folder, matcher):
+    import cv2
+    from bundlesdf_tpu.config import default_nof_config, default_track_config
+    from bundlesdf_tpu.io.readers import YcbineoatReader
+    from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
+
+    cfg_track = default_track_config()
+    cfg_track["feature_corres"]["matcher"] = matcher
+    cfg_track["depth_processing"]["zfar"] = 1.0
+    cfg_track["debug_dir"] = out_folder
+    cfg_nof = default_nof_config()
+    cfg_nof["save_dir"] = out_folder
+    import math
+
+    n_video = len(os.listdir(os.path.join(video_dir, "rgb")))
+    cfg_nof["ray_pool_reserve_log2"] = min(
+        23, max(20, math.ceil(math.log2(max(1, n_video) * 120_000))))
+    os.makedirs(out_folder, exist_ok=True)
+    cfg_track.save(f"{out_folder}/config_track.yml")
+    cfg_nof.save(f"{out_folder}/config_nerf.yml")
+
+    reader = YcbineoatReader(video_dir=video_dir, shorter_side=480)
+    tracker = BundleSdf(cfg_track=cfg_track, cfg_nof=cfg_nof,
+                        out_dir=out_folder, use_nof=True, save_artifacts=True)
+    t0 = time.perf_counter()
+    for i in range(len(reader.color_files)):
+        color = reader.get_color(i)
+        depth = reader.get_depth(i)
+        mask = reader.get_mask(i)
+        if i == 0:
+            mask = cv2.erode(mask.astype(np.uint8), np.ones((5, 5), np.uint8))
+        occ = reader.get_occ_mask(i)
+        occ = occ if occ is not None and occ.any() else None
+        tracker.run(color, depth, reader.K, reader.id_strs[i], mask=mask,
+                    occ_mask=occ)
+    mesh = tracker.on_finish()
+    wall = time.perf_counter() - t0
+    if mesh is not None:
+        mesh.export(f"{out_folder}/mesh_online.obj")
+    return wall
+
+
+def evaluate(video_dir, out_folder):
+    from synthetic_hard import blob_surface_distance
+    from bundlesdf_tpu.utils import metrics
+
+    gts = np.load(f"{video_dir}/gt_ob_in_cam.npy")
+    model_pts = np.load(f"{video_dir}/gt_model_points.npy")
+    pred_files = sorted(glob.glob(f"{out_folder}/ob_in_cam/*.txt"))
+    preds = np.stack([np.loadtxt(f).reshape(4, 4) for f in pred_files])
+    gts = gts[: len(preds)]
+    res = metrics.trajectory_add_auc(preds, gts, model_pts, max_val=0.1)
+    out = {
+        "n_frames": len(preds),
+        "ADD_AUC": round(res["add_auc"] * 100, 2),
+        "ADDS_AUC": round(res["adds_auc"] * 100, 2),
+        "mean_ADD_cm": round(res["mean_add"] * 100, 3),
+        "mean_ADDS_cm": round(res["mean_adds"] * 100, 3),
+    }
+    mesh_file = f"{out_folder}/mesh_online.obj"
+    if os.path.exists(mesh_file):
+        # mesh is in the object frame of the FIRST prediction; move to GT
+        # object frame via pose composition then closed-form blob distance
+        vs = []
+        with open(mesh_file) as f:
+            for line in f:
+                if line.startswith("v "):
+                    vs.append([float(x) for x in line.split()[1:4]])
+        if vs:
+            v = np.asarray(vs)
+            T = np.linalg.inv(gts[0]) @ preds[0]
+            v = v @ T[:3, :3].T + T[:3, 3]
+            # crop floaters far outside the object bbox (|0.22 m extent|)
+            v = v[np.linalg.norm(v, axis=-1) < 0.3]
+            if len(v):
+                out["mesh_mean_dist_cm"] = round(
+                    float(np.mean(blob_surface_distance(v))) * 100, 3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="EVAL_synth.json")
+    ap.add_argument("--matchers", default="corner,sift")
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--deg", type=float, default=7.0)
+    ap.add_argument("--workdir", default="/tmp/synth_hard")
+    ap.add_argument("--skip_gen", action="store_true")
+    args = ap.parse_args()
+
+    video_dir = os.path.join(args.workdir, "video")
+    if not args.skip_gen or not os.path.isdir(video_dir):
+        from synthetic_hard import make_hard_video
+
+        make_hard_video(video_dir, n_frames=args.frames, deg_step=args.deg)
+        print("fixture:", video_dir, flush=True)
+
+    report = {
+        "fixture": {
+            "frames": args.frames,
+            "total_rotation_deg": args.deg * (args.frames - 1),
+            "occluder": True,
+            "depth_noise_m": 0.0015,
+        }
+    }
+    for m in args.matchers.split(","):
+        m = m.strip()
+        out_folder = os.path.join(args.workdir, f"out_{m}")
+        wall = run_engine(video_dir, out_folder, m)
+        r = evaluate(video_dir, out_folder)
+        r["wall_s"] = round(wall, 1)
+        r["fps"] = round(args.frames / wall, 4)
+        report[m] = r
+        print(m, json.dumps(r), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

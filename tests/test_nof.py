@@ -491,3 +491,46 @@ def test_render_rays_n_importance_branch():
         if n_imp:
             rgb = np.asarray(out["rgb_map"])
             assert np.isfinite(rgb).all()
+
+
+def test_full_checkpoint_resume_bitwise(tmp_path):
+    """save_weights(full=True) -> from_checkpoint resumes a killed session
+    exactly: the restored runner's next train chunk produces bitwise-equal
+    params to the uninterrupted run (VERDICT r1 #7; reference load_weights
+    nerf_runner.py:551-574 restores only weights)."""
+    data = make_sphere_dataset(n_views=2, H=32, W=32)
+    cfg = tiny_cfg()
+    cfg["N_rand"] = 128
+    cfg["loop_chunk"] = 2
+    runner = NofRunner(
+        cfg, data["images"], data["depths"], data["masks"], data["poses"],
+        data["K"], data["cloud"],
+    )
+    runner.train(4)
+    ckpt = str(tmp_path / "full.pth")
+    runner.save_weights(ckpt, full=True)
+    runner.train(4)
+    want = jax.tree_util.tree_map(np.asarray, runner.params)
+
+    restored = NofRunner.from_checkpoint(cfg, ckpt)
+    assert restored.global_step == 4
+    assert len(restored.rays_np) == len(runner.rays_np)
+    restored.train(4)
+    got = jax.tree_util.tree_map(np.asarray, restored.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), want, got
+    )
+
+
+def test_weights_only_checkpoint_rejects_resume(tmp_path):
+    data = make_sphere_dataset(n_views=1, H=16, W=16)
+    cfg = tiny_cfg()
+    cfg["N_rand"] = 64
+    runner = NofRunner(
+        cfg, data["images"], data["depths"], data["masks"], data["poses"],
+        data["K"], data["cloud"],
+    )
+    ckpt = str(tmp_path / "w.pth")
+    runner.save_weights(ckpt)
+    with pytest.raises(ValueError, match="weights-only"):
+        NofRunner.from_checkpoint(cfg, ckpt)

@@ -320,6 +320,10 @@ class NofRunner:
             finest_res=int(cfg["finest_res"]),
             log2_hashmap_size=int(cfg["log2_hashmap_size"]),
             layout=str(cfg.get("hash_layout", "cell")),
+            scatter=hashgrid.resolve_scatter(
+                str(cfg.get("hash_scatter", "auto")),
+                max(1, int(cfg.get("dp_devices", 0) or 0)),
+            ),
         )
         self.spec = nof_model.NofSpec(
             grid=grid_spec,

@@ -43,6 +43,12 @@ class HashGridSpec(NamedTuple):
     #          (hash_encode_cell) — same f32 math, ~8x fewer random
     #          accesses; hashed levels fall back to the element path.
     layout: str = "exact"
+    # "xla": per-level XLA row scatter-adds in the backward (portable).
+    # "pallas": fuse the small dense levels' scatters into one pallas
+    #           scalar loop with VMEM-resident accumulators (TPU only,
+    #           single-device programs — GSPMD cannot partition the
+    #           custom call; see ops/hashgrid_pallas.py).
+    scatter: str = "xla"
 
     @property
     def per_level_scale(self) -> float:
@@ -289,18 +295,37 @@ def _build_cell_cache(level_table, p, C: int):
 
 def _reduce_cell_cache_grad(d_cache, p, C: int):
     """(res^3, 8*C) cache cotangent -> flat (size*C,) table cotangent via 8
-    dense shifted adds (the transpose of _build_cell_cache).  Channel-split
-    3-D accumulators for the same lane-padding reason as the build."""
+    dense shifted adds (the transpose of _build_cell_cache).
+
+    Formulated as 16 STRIDED 1-D slices + 8 pad-and-adds per channel.  Two
+    earlier formulations measured slower IN COMPOSITION with the producing
+    scatter (scripts/bisect_step.py lineage, /tmp probes r2): a
+    dynamic_update_slice chain (serialized 16 read-modify-write rounds of
+    the accumulator) and a transpose-first variant (d_cache.T makes column
+    reads contiguous but the transpose of the scatter's output forces a
+    ~20 ms relayout at the online budget: 59.2 -> 39.4 ms for the composed
+    scatter+reduce when replaced by strided slices that read the scatter
+    destination in its NATIVE flat layout).  jnp.pad composes into a single
+    fused elementwise sum; per-entry corner accumulation ORDER matches the
+    original chain — bitwise-identical output.  Channel-split 3-D
+    accumulators for the same lane-padding reason as the build."""
     S = p["res"] + 1
     R = p["res"]
+    flat_in = d_cache.reshape(-1)
     acc = []
     for ch in range(C):
-        a3 = jnp.zeros((S, S, S), d_cache.dtype)
+        a3 = None
         for ci, c in enumerate(_CORNERS):
-            col = d_cache[:, ci * C + ch].reshape(R, R, R)
-            start = (int(c[0]), int(c[1]), int(c[2]))
-            cur = jax.lax.dynamic_slice(a3, start, (R, R, R))
-            a3 = jax.lax.dynamic_update_slice(a3, cur + col, start)
+            col = jax.lax.slice(
+                flat_in, (ci * C + ch,), (flat_in.shape[0],), (8 * C,)
+            ).reshape(R, R, R)
+            padded = jnp.pad(
+                col,
+                ((int(c[0]), 1 - int(c[0])),
+                 (int(c[1]), 1 - int(c[1])),
+                 (int(c[2]), 1 - int(c[2]))),
+            )
+            a3 = padded if a3 is None else a3 + padded
         acc.append(a3.reshape(-1))
     flat = jnp.stack(acc, axis=-1).reshape(-1)  # interleave channels
     if S * S * S < p["size"]:
@@ -349,15 +374,17 @@ def _cell_of(pgs, R: int):
 
 
 def _cell_rows(axes, cache, p, C: int):
-    """Gather each point's (8*C,) corner row + return per-axis fracs."""
+    """Gather each point's (N, 8*C) corner rows + return per-axis fracs.
+
+    Rows stay in the gather's NATURAL (N, 8*C) layout: an earlier variant
+    transposed to (8*C, N) for unpadded residuals, but the composed
+    gather -> transpose -> trilinear chain forced a ~13 ms relayout at the
+    online budget (34.8 -> 22.0 ms with natural column reads, bitwise
+    equal — /tmp fwd probes r2)."""
     R = p["res"]
     pgs, fracs = _level_fracs(axes, p)
     cell = _cell_of(pgs, R)
-    # ONE (N, 8*C) row gather, then transpose to (8*C, N): the gather's
-    # output is unavoidably lane-padded 16 -> 128, but everything that
-    # LIVES on (residuals, the trilinear operand slices) is the transposed
-    # unpadded form.
-    rows = cache[cell].T
+    rows = cache[cell]
     return rows, fracs, cell
 
 
@@ -375,17 +402,16 @@ def _window_gather(flat, starts, C: int):
 
 def _hashed_rows(axes, level_table, p, C: int):
     """Hashed-level fallback shaped like _cell_rows: 8 window-C gathers
-    (one random access per corner) instead of 8*C element gathers."""
+    (one random access per corner) instead of 8*C element gathers.
+    Returns natural-layout (N, 8*C) rows like _cell_rows."""
     pgs, fracs = _level_fracs(axes, p)
-    cols = []
+    pairs = []
     for c in _CORNERS:
         idx = _corner_index_axes(
             pgs[0] + int(c[0]), pgs[1] + int(c[1]), pgs[2] + int(c[2]),
             p["res"], p["size"], p["dense"])
-        pair = _window_gather(level_table, idx.astype(jnp.int32) * C, C).T
-        for ch in range(C):
-            cols.append(pair[ch])
-    return jnp.stack(cols, axis=0), fracs, None  # (8*C, N)
+        pairs.append(_window_gather(level_table, idx.astype(jnp.int32) * C, C))
+    return jnp.concatenate(pairs, axis=-1), fracs, None  # (N, 8*C)
 
 
 def _corner_sels(fracs, c):
@@ -414,7 +440,7 @@ def _encode_cell_impl(x, table, spec: HashGridSpec):
             s0, s1, s2 = _corner_sels(fracs, c)
             w = (s0 * s1) * s2
             for ch in range(C):
-                term = rows[ci * C + ch] * w
+                term = rows[:, ci * C + ch] * w
                 acc[ch] = term if acc[ch] is None else acc[ch] + term
         cols.extend(acc)
     return jnp.stack(cols, axis=-1), tuple(rows_all)
@@ -431,9 +457,10 @@ def hash_encode_cell(
 
 def _hash_encode_cell_fwd(x, table, spec):
     out, rows_all = _encode_cell_impl(x, table, spec)
-    # rows are saved as residuals ((8*C, N) transposed = unpadded): the
-    # backward streams them back instead of re-issuing the random gathers
-    # (the exact path's second 25.2M loads).
+    # rows are saved as residuals in their natural (N, 8*C) gather layout
+    # (the dx path's gdotrow is the only consumer; layout-indifferent in
+    # measurement): the backward streams them back instead of re-issuing
+    # the random gathers (the exact path's second 25.2M loads).
     return out, (x, rows_all)
 
 
@@ -447,6 +474,12 @@ def _hash_encode_cell_fwd(x, table, spec):
 # 128-wide row in disjoint 16-wide column blocks, cutting destination rows
 # 8x at identical bytes, then reshape back row-major for free.
 _FAST_SCATTER_ROWS = 1 << 18
+
+# Dense levels at or below this row count scatter through the fused pallas
+# loop when spec.scatter == "pallas" (the lane-padded cache must fit the
+# 16 MB scoped-vmem budget of the surrounding program; level 0 only at the
+# online geometry — see ops/hashgrid_pallas.py).
+_PALLAS_FUSE_ROWS = 1 << 12
 
 
 def _packed_row_scatter(cell, d_rows, n_dest_rows: int):
@@ -507,7 +540,11 @@ def _hash_encode_cell_bwd(spec, res, g):
     # 32-iteration corner unroll (each would be a 64 MB lane-padded buffer
     # read+written per iteration at the online budget)
     dxa = [jnp.zeros_like(axes[0]) for _ in range(3)]
-    d_levels = []
+    d_levels = {}
+    # Small dense levels whose VMEM-padded cache fits: their scatters fuse
+    # into ONE pallas loop (iteration floor dominates scatter cost — see
+    # ops/hashgrid_pallas.py).
+    fuse = []  # (li, p, cell, d_rows)
     for li, p in enumerate(spec.level_params()):
         rows = rows_all[li]
         g_cols = [gT[li * C + ch] for ch in range(C)]
@@ -520,7 +557,7 @@ def _hash_encode_cell_bwd(spec, res, g):
             gdotrow = None
             for ch in range(C):
                 d_cols.append(w * g_cols[ch])
-                t = g_cols[ch] * rows[ci * C + ch]
+                t = g_cols[ch] * rows[:, ci * C + ch]
                 gdotrow = t if gdotrow is None else gdotrow + t
             # dw/dx01_k = scale * sign_k * prod_{j != k} sel_j
             for k, others in enumerate(((s1, s2), (s0, s2), (s0, s1))):
@@ -530,8 +567,11 @@ def _hash_encode_cell_bwd(spec, res, g):
             R = p["res"]
             cell = _cell_of(pgs, R)
             d_rows = jnp.stack(d_cols, axis=-1)  # (N, 8*C) scatter operand
-            d_cache = _cell_cache_scatter(cell, d_rows, R * R * R)
-            d_levels.append(_reduce_cell_cache_grad(d_cache, p, C))
+            if spec.scatter == "pallas" and R * R * R <= _PALLAS_FUSE_ROWS:
+                fuse.append((li, p, cell, d_rows))
+            else:
+                d_cache = _cell_cache_scatter(cell, d_rows, R * R * R)
+                d_levels[li] = _reduce_cell_cache_grad(d_cache, p, C)
         else:
             # flat element scatter (window-C scatter_add measured 400x
             # slower — a pathological XLA emitter; element streams are the
@@ -546,11 +586,20 @@ def _hash_encode_cell_bwd(spec, res, g):
                 for ch in range(C):
                     flat_idx.append(base + ch)
                     contrib.append(d_cols[ci * C + ch])
-            d_levels.append(
+            d_levels[li] = (
                 jnp.zeros((p["size"] * C,), d_cols[0].dtype).at[
                     jnp.concatenate(flat_idx)
                 ].add(jnp.concatenate(contrib), mode="promise_in_bounds"))
-    d_table = jnp.concatenate(d_levels)
+    if fuse:
+        from . import hashgrid_pallas
+
+        d_caches = hashgrid_pallas.fused_cache_scatter(
+            [f[2] for f in fuse], [f[3] for f in fuse],
+            [f[1]["res"] ** 3 for f in fuse])
+        for (li, p, _, _), d_cache in zip(fuse, d_caches):
+            d_levels[li] = _reduce_cell_cache_grad(d_cache, p, C)
+    d_table = jnp.concatenate([d_levels[li] for li in
+                               range(len(spec.level_params()))])
     # chain through x01 = clip((x+1)/2): derivative 0.5 inside, 0 at clip
     inside = (jnp.abs(x) <= 1.0).astype(x.dtype)
     dx = jnp.stack(dxa, axis=-1) * 0.5 * inside
@@ -558,6 +607,19 @@ def _hash_encode_cell_bwd(spec, res, g):
 
 
 hash_encode_cell.defvjp(_hash_encode_cell_fwd, _hash_encode_cell_bwd)
+
+
+def resolve_scatter(pref: str = "auto", dp_devices: int = 1) -> str:
+    """Resolve the spec.scatter knob.  "auto" = "xla": the fused pallas
+    scatter measured COST-NEUTRAL in situ (XLA's in-program scatter is
+    ~13 ns/row vs the pallas scalar-loop floor of ~25 ns/iteration) and
+    the VMEM-resident accumulators exceed the 16 MB scoped-vmem budget
+    inside the fused train-step program beyond level 0.  The kernel stays
+    selectable ("pallas") as a measured reference point; it also cannot be
+    GSPMD-partitioned, so sharded programs must keep "xla"."""
+    if pref != "auto":
+        return pref
+    return "xla"
 
 
 def encode(x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:

@@ -127,7 +127,11 @@ def sample_rays_in_occupied_space(
 
 def _march_occupancy(grid, rays_o, rays_d, n_march: int):
     """Shared march: probe occupancy at n_march midpoints along each ray's
-    [-1,1]^3 chord.  Returns (occ (N,M) incl. box mask, t0, dt, t_mid)."""
+    [-1,1]^3 chord.  Returns (occ (N,M) incl. box mask, t0, dt, t_mid).
+
+    Channel-split: per-axis (N, M) coordinate planes instead of an
+    (N, M, 3) point tensor (minor dim 3 lane-pads to 128 on TPU — a 210 MB
+    temp at the online budget; measured 10.0 -> 8.0 ms, bit-identical)."""
     N = rays_o.shape[0]
     tmin, tmax = geometry.ray_box_intersection(
         rays_o, rays_d, jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0])
@@ -138,8 +142,17 @@ def _march_occupancy(grid, rays_o, rays_d, n_march: int):
     dt = (t1 - t0) / n_march  # (N,)
     steps = (jnp.arange(n_march, dtype=jnp.float32) + 0.5)[None, :]  # (1, M)
     t_mid = t0[:, None] + steps * dt[:, None]  # (N, M)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
-    occ = query_occupancy(grid, pts.reshape(-1, 3)).reshape(N, n_march)
+    R = grid.shape[0]
+    idx = None
+    inside = None
+    for k in range(3):
+        pk = rays_o[:, k:k + 1] + rays_d[:, k:k + 1] * t_mid  # (N, M)
+        gk = jnp.floor((pk + 1.0) * 0.5 * R).astype(jnp.int32)
+        ik = (gk >= 0) & (gk < R)
+        inside = ik if inside is None else inside & ik
+        gk = jnp.clip(gk, 0, R - 1)
+        idx = gk if idx is None else idx * R + gk
+    occ = grid.reshape(-1)[idx.reshape(-1)].reshape(N, n_march) & inside
     return occ & box_hit[:, None], t0, dt, t_mid
 
 

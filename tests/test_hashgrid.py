@@ -219,3 +219,30 @@ def test_packed_row_scatter_matches_direct():
     packed_b = hashgrid._packed_row_scatter(cell_b, upd, n_big)
     np.testing.assert_allclose(np.asarray(packed_b), np.asarray(direct_b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_scatter_matches_xla():
+    """spec.scatter="pallas" (fused multi-level VMEM scatter loop,
+    ops/hashgrid_pallas.py; interpret mode on CPU) must produce the same
+    table/coordinate gradients as the portable XLA row-scatter path."""
+    spec = hashgrid.HashGridSpec(4, 2, 16, 128, 15, layout="cell")
+    pspec = spec._replace(scatter="pallas")
+    tab = hashgrid.init_table(jax.random.PRNGKey(0), spec) * 1000
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-1.1, maxval=1.1)
+
+    loss_x = lambda x, t: jnp.sum(jnp.sin(hashgrid.hash_encode_cell(x, t, spec)))
+    loss_p = lambda x, t: jnp.sum(jnp.sin(hashgrid.hash_encode_cell(x, t, pspec)))
+    gx = jax.grad(loss_x, argnums=(0, 1))(x, tab)
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, tab)
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, rtol=0, atol=scale * 1e-6)
+
+
+def test_resolve_scatter():
+    assert hashgrid.resolve_scatter("xla") == "xla"
+    assert hashgrid.resolve_scatter("pallas") == "pallas"
+    # on the CPU test backend, auto must stay portable
+    assert hashgrid.resolve_scatter("auto") == "xla"
+    assert hashgrid.resolve_scatter("auto", dp_devices=8) == "xla"

@@ -52,6 +52,7 @@ def run_engine(video_dir, out_folder, matcher):
     tracker = BundleSdf(cfg_track=cfg_track, cfg_nof=cfg_nof,
                         out_dir=out_folder, use_nof=True, save_artifacts=True)
     t0 = time.perf_counter()
+    n_fail = 0
     for i in range(len(reader.color_files)):
         color = reader.get_color(i)
         depth = reader.get_depth(i)
@@ -60,13 +61,15 @@ def run_engine(video_dir, out_folder, matcher):
             mask = cv2.erode(mask.astype(np.uint8), np.ones((5, 5), np.uint8))
         occ = reader.get_occ_mask(i)
         occ = occ if occ is not None and occ.any() else None
-        tracker.run(color, depth, reader.K, reader.id_strs[i], mask=mask,
-                    occ_mask=occ)
+        frame = tracker.run(color, depth, reader.K, reader.id_strs[i],
+                            mask=mask, occ_mask=occ)
+        if frame is not None and int(getattr(frame, "status", 0)) != 0:
+            n_fail += 1
     mesh = tracker.on_finish()
     wall = time.perf_counter() - t0
     if mesh is not None:
         mesh.export(f"{out_folder}/mesh_online.obj")
-    return wall
+    return wall, n_fail
 
 
 def evaluate(video_dir, out_folder):
@@ -130,15 +133,17 @@ def main():
             "total_rotation_deg": args.deg * (args.frames - 1),
             "occluder": True,
             "depth_noise_m": 0.0015,
+            "noise_model": "spatially-correlated (10 px) + 2% dropout + mm quantization",
         }
     }
     for m in args.matchers.split(","):
         m = m.strip()
         out_folder = os.path.join(args.workdir, f"out_{m}")
-        wall = run_engine(video_dir, out_folder, m)
+        wall, n_fail = run_engine(video_dir, out_folder, m)
         r = evaluate(video_dir, out_folder)
         r["wall_s"] = round(wall, 1)
         r["fps"] = round(args.frames / wall, 4)
+        r["n_tracking_fail"] = n_fail
         report[m] = r
         print(m, json.dumps(r), flush=True)
 

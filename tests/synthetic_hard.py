@@ -178,9 +178,20 @@ def make_hard_video(out_dir, n_frames=14, deg_step=7.0, H=480, W=480,
             mask = np.where(infront, 0, mask)
             occ = infront
 
-        # depth sensor model: gaussian noise + dropout, mm quantization
+        # Depth sensor model: spatially CORRELATED noise + dropout + mm
+        # quantization.  Real depth cameras (the HO3D RealSense) exhibit
+        # low-frequency surface "waviness", not iid per-pixel noise — iid
+        # gaussian at sigma > the 1 mm erode threshold
+        # (depth_processing.erode.diff, reference config_ho3d.yml:17-21)
+        # invalidates nearly the whole object and every tracker frame
+        # FAILs, which tests the gates rather than the tracking.  A
+        # blurred white-noise field rescaled to the target sigma keeps the
+        # amplitude but with realistic ~10 px correlation length.
         valid = depth > 0
-        depth = depth + rng.normal(0, depth_noise, depth.shape) * valid
+        white = rng.normal(0, 1.0, depth.shape)
+        corr = cv2.GaussianBlur(white, (0, 0), sigmaX=5.0)
+        corr *= depth_noise / max(corr.std(), 1e-9)
+        depth = depth + corr * valid
         drop = rng.uniform(size=depth.shape) < depth_dropout
         depth = np.where(drop, 0.0, depth)
 

@@ -216,6 +216,13 @@ def default_nof_config() -> Cfg:
             "base_res": 16,
             "num_levels": 4,
             "log2_hashmap_size": 22,
+            # TPU-specific encoder knobs (no reference equivalent):
+            # hash_layout: exact|cell (ops/hashgrid.py layouts);
+            # hash_scatter: auto|xla|pallas (backward scatter engine —
+            # auto resolves to xla; pallas is a measured-neutral
+            # reference kernel, ops/hashgrid_pallas.py).
+            "hash_layout": "cell",
+            "hash_scatter": "auto",
             "n_train_image": 300,
             "use_octree": 1,
             "first_frame_weight": 10.0,

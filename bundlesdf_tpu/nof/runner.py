@@ -73,9 +73,6 @@ def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
         s = jnp.floor(step / 10.0) * 10.0
         return decay ** (s / n_step)
 
-    def pose_scale(path_leaf_scale):
-        return cfg["lrate_pose"] / cfg["lrate"]
-
     base = optax.chain(
         optax.GradientTransformation(*clip_by_global_inf_norm(cfg["gradient_max_norm"])),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
@@ -92,7 +89,6 @@ def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
         optax.scale_by_schedule(lambda s: -cfg["lrate_pose"] * schedule(s)),
     )
-    _ = pose_scale
     return optax.multi_transform({"basic": base, "pose": pose_tx}, label_fn)
 
 
@@ -136,8 +132,14 @@ def _pick_microbatch(n_rand: int, samples_per_ray: int, num_levels: int,
     return max(mb, 1)
 
 
-def make_train_step(st: TrainStatics, optimizer):
-    """Build the fused jitted training step."""
+def make_loss_fn(st: TrainStatics):
+    """The ONE NOF loss function (render + all loss terms).
+
+    Shared by the single-device step (make_train_step) and the dp/sharded
+    step (parallel/nof_shard.make_dp_train_step) so a multi-chip run with
+    any optional loss weight nonzero trains the exact same objective.
+    Returns (loss, metrics) — use with value_and_grad(has_aux=True).
+    """
 
     def loss_fn(params, key, batch, grid, c2w, step):
         truncation = nof_losses.truncation_value(
@@ -207,7 +209,12 @@ def make_train_step(st: TrainStatics, optimizer):
         metrics["valid_rays"] = jnp.sum(valid_rays)
         return loss, metrics
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    return loss_fn
+
+
+def make_train_step(st: TrainStatics, optimizer):
+    """Build the fused jitted training step."""
+    grad_fn = jax.value_and_grad(make_loss_fn(st), has_aux=True)
 
     def step_impl(params, opt_state, step, key, rays, n_rays, grid, c2w):
         kb, kr = jax.random.split(jax.random.fold_in(key, step))
@@ -910,6 +917,25 @@ class NofRunner:
             raise ValueError(
                 f"{path} is a weights-only checkpoint; resume needs "
                 "save_weights(full=True)")
+        # Validate the resume cfg against save-time geometry: a drifted
+        # max_kf_pool yields an opaque broadcast error, a drifted
+        # sc_factor/translation a silent geometry mismatch.
+        max_kf = int(cfg.get("max_kf_pool", 128))
+        ckpt_kf = ckpt["c2w"].shape[0]
+        if ckpt_kf != max_kf:
+            raise ValueError(
+                f"resume cfg max_kf_pool={max_kf} != checkpoint pool size "
+                f"{ckpt_kf} ({path})")
+        if abs(float(cfg["sc_factor"]) - float(ckpt["sc_factor"])) > 1e-6:
+            raise ValueError(
+                f"resume cfg sc_factor={cfg['sc_factor']} != checkpoint "
+                f"sc_factor={ckpt['sc_factor']} ({path})")
+        tr_cfg = np.asarray(cfg["translation"], dtype=np.float64)
+        tr_ck = np.asarray(ckpt["translation"], dtype=np.float64)
+        if not np.allclose(tr_cfg, tr_ck, atol=1e-6):
+            raise ValueError(
+                f"resume cfg translation={list(tr_cfg)} != checkpoint "
+                f"translation={list(tr_ck)} ({path})")
         n = int(ckpt["n_frames"])
         runner = cls(
             cfg,

@@ -615,8 +615,16 @@ def resolve_scatter(pref: str = "auto", dp_devices: int = 1) -> str:
     ~13 ns/row vs the pallas scalar-loop floor of ~25 ns/iteration) and
     the VMEM-resident accumulators exceed the 16 MB scoped-vmem budget
     inside the fused train-step program beyond level 0.  The kernel stays
-    selectable ("pallas") as a measured reference point; it also cannot be
-    GSPMD-partitioned, so sharded programs must keep "xla"."""
+    selectable ("pallas") as a measured reference point; it cannot be
+    GSPMD-partitioned, so sharded (dp_devices > 1) programs are forced
+    back to "xla" with a warning."""
+    if pref == "pallas" and dp_devices > 1:
+        import warnings
+
+        warnings.warn(
+            "hash_scatter='pallas' cannot be GSPMD-partitioned; forcing "
+            f"'xla' for dp_devices={dp_devices}", stacklevel=2)
+        return "xla"
     if pref != "auto":
         return pref
     return "xla"

@@ -33,8 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # One 128-lane-padded f32 cache row = 512 B; inside a larger program the
 # custom call gets a 16 MB SCOPED vmem budget (not the chip's full 128 MB),
-# so only the smallest level qualifies (4096 rows = 2 MB padded).
-MAX_FUSED_ROWS = 1 << 12
+# so only the smallest level qualifies (4096 rows = 2 MB padded).  The
+# dispatch gate in hashgrid.py (_PALLAS_FUSE_ROWS) is the same constant —
+# aliased here so the kernel's VMEM-budget assumption and the gate cannot
+# drift apart.
+from .hashgrid import _PALLAS_FUSE_ROWS as MAX_FUSED_ROWS  # noqa: E402
+
 CHUNK = 2048
 
 
@@ -95,8 +99,10 @@ def _fused_scatter_fn(rows_tuple: tuple, n_updates: int, width: int):
             out_specs=out_specs,
             out_shape=out_shape,
             # CPU (tests / virtual multichip) runs the kernel in interpret
-            # mode so spec.scatter="pallas" stays testable off-TPU.
-            interpret=jax.default_backend() != "tpu",
+            # mode so spec.scatter="pallas" stays testable off-TPU.  Other
+            # backends (gpu) must not silently run fully interpreted —
+            # fused_cache_scatter raises for them before we get here.
+            interpret=jax.default_backend() == "cpu",
         )(*idxs, *upds)
 
     return scatter
@@ -105,6 +111,12 @@ def _fused_scatter_fn(rows_tuple: tuple, n_updates: int, width: int):
 def fused_cache_scatter(cells: list, d_rows: list, rows_list: list):
     """Scatter-add each (N, F) d_rows[i] into a fresh (rows_list[i], F)
     accumulator at row indices cells[i], all levels in ONE pallas loop."""
+    backend = jax.default_backend()
+    if backend not in ("tpu", "cpu"):
+        raise NotImplementedError(
+            f"hash_scatter='pallas' supports tpu (compiled) and cpu "
+            f"(interpret, for tests) only, not {backend!r}; use "
+            "hash_scatter='xla'")
     n = d_rows[0].shape[0]
     f = d_rows[0].shape[1]
     fn = _fused_scatter_fn(tuple(int(r) for r in rows_list), int(n), int(f))

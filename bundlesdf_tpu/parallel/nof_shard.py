@@ -53,42 +53,14 @@ def make_dp_train_step(st: nof_runner.TrainStatics, optimizer, mesh: Mesh,
 
 def _make_impl(st: nof_runner.TrainStatics, optimizer, mesh: Mesh, shard_table: bool):
     import optax
-    from ..nof import losses as nof_losses
-    from ..nof import render as nof_render
 
     batch_sharding = NamedSharding(mesh, P("dp", None))
     table_sharding = NamedSharding(mesh, P("dp") if shard_table else P())
 
-    def loss_fn(params, key, batch, grid, c2w, step):
-        truncation = nof_losses.truncation_value(
-            step, st.n_step, st.trunc, st.trunc_start, st.sc_factor,
-            st.trunc_decay_type,
-        )
-        out = nof_render.render_rays(
-            key, params, st.spec, st.rcfg, grid, batch, c2w, truncation
-        )
-        target_rgb = batch[:, nof_render.RAY_RGB]
-        target_d = batch[:, nof_render.RAY_DEPTH]
-        frame_ids = batch[:, nof_render.RAY_FRAME_ID].astype(jnp.int32)
-        ray_type = batch[:, nof_render.RAY_TYPE]
-        valid_samples = out["valid_samples"].astype(jnp.float32)
-        sdf = out["raw"][..., 3]
-        valid_rays = (out["valid_samples"].any(axis=-1)) & (ray_type == 0)
-        ray_w = jnp.where(frame_ids == 0, st.weights.first_frame_weight, 1.0)
-        ray_w = ray_w * valid_rays.astype(jnp.float32)
-        sample_w = ray_w[:, None] * valid_samples
-        loss = st.weights.rgb_weight * jnp.mean(
-            (out["rgb_map"] - target_rgb) ** 2 * ray_w[:, None]
-        )
-        fs_raw, sdf_raw = nof_losses.sdf_losses(
-            out["z_vals"], target_d[:, None], sdf, truncation, sample_w, st.weights
-        )
-        loss = loss + fs_raw * st.weights.fs_weight + sdf_raw * st.weights.trunc_weight
-        if st.spec.frame_features > 0:
-            loss = loss + st.weights.feature_reg_weight * jnp.mean(
-                params["feature_array"] ** 2
-            )
-        return loss
+    # THE loss: shared with the single-device path (nof/runner.make_loss_fn)
+    # so every optional term (depth/fs-rgb/eikonal/pose-reg) trains the same
+    # objective on 1 and N chips.
+    grad_fn = jax.value_and_grad(nof_runner.make_loss_fn(st), has_aux=True)
 
     def step_impl(params, opt_state, step, key, rays, n_rays, grid, c2w):
         if shard_table:
@@ -100,10 +72,10 @@ def _make_impl(st: nof_runner.TrainStatics, optimizer, mesh: Mesh, shard_table: 
         idx = jax.random.randint(kb, (st.n_rand,), 0, jnp.maximum(n_rays, 1))
         batch = rays[idx]
         batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
-        loss, grads = jax.value_and_grad(loss_fn)(params, kr, batch, grid, c2w, step)
+        (_, metrics), grads = grad_fn(params, kr, batch, grid, c2w, step)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss}
+        return params, opt_state, metrics
 
     return jax.jit(step_impl), step_impl
 
@@ -114,7 +86,7 @@ def make_dp_train_loop(st: nof_runner.TrainStatics, optimizer, mesh: Mesh,
     nof/runner.make_train_loop (one launch per n_inner steps), with the
     same (params, opt_state, step0, key, rays, n_rays, grid, c2w, n_inner)
     signature so NofRunner can swap it in transparently."""
-    _, step_impl = _make_impl_pair(st, optimizer, mesh, shard_table)
+    _, step_impl = _make_impl(st, optimizer, mesh, shard_table)
 
     @partial(jax.jit, static_argnames=("n_inner",), donate_argnums=(0, 1))
     def train_many(params, opt_state, step0, key, rays, n_rays, grid, c2w,
@@ -129,8 +101,3 @@ def make_dp_train_loop(st: nof_runner.TrainStatics, optimizer, mesh: Mesh,
         return params, opt_state, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
     return train_many
-
-
-def _make_impl_pair(st, optimizer, mesh, shard_table):
-    """(jitted_step, raw_impl) for the dp step."""
-    return _make_impl(st, optimizer, mesh, shard_table)

@@ -413,7 +413,33 @@ class FeatureTracks:
 
     def forget_frame(self, fid: int):
         self._frame_keys.pop(fid, None)
-        # lazily keep union-find entries; stale roots are harmless
+        # Union-find entries of dead frames are lazily kept (stale roots
+        # are harmless for correctness) but must not grow without bound
+        # over a long video: compact when the table exceeds 2x the live
+        # key count (amortized O(1) per forget).
+        n_live = sum(len(ks) for ks in self._frame_keys.values())
+        if len(self._parent) > max(1024, 2 * n_live):
+            self.compact()
+
+    def compact(self):
+        """Rebuild the union-find over only the LIVE keys (keys of frames
+        still present), preserving connectivity between them.  Dead keys on
+        parent chains are dropped; each component keeps one live
+        representative.  Bounds memory for 1000+-frame videos (the
+        reference erases matches per forgotten frame,
+        FeatureManager.cpp:467-512 — map points of dead frames die too)."""
+        live = set()
+        for ks in self._frame_keys.values():
+            live |= ks
+        root_rep: dict[tuple, tuple] = {}
+        new_parent: dict[tuple, tuple] = {}
+        for k in live:
+            r = self._find(k)
+            rep = root_rep.setdefault(r, k)
+            new_parent[k] = rep
+        for rep in root_rep.values():
+            new_parent[rep] = rep
+        self._parent = new_parent
 
     def n_covisible(self, fa_id: int, fb_id: int) -> int:
         """Number of shared tracks between two frames."""

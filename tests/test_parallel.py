@@ -148,3 +148,51 @@ def test_nof_runner_dp_devices_trains():
     m1 = runner.train(8)
     assert np.isfinite(m1["loss"])
     assert runner.global_step == 12
+
+
+def test_dp_step_matches_single_device_with_optional_losses():
+    """The dp step must train the SAME objective as the single-device step,
+    including the optional loss terms (depth/fs-rgb/eikonal/pose-reg) — the
+    dp path shares nof/runner.make_loss_fn, so a step with all optional
+    weights nonzero must match numerically."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    from bundlesdf_tpu.nof import runner as nof_runner
+    import optax
+
+    spec, rcfg, weights, params, rays, c2w, grid = g._build_nof(
+        n_rand=64, n_samples=8, n_around=4, num_levels=2, finest_res=32,
+        log2_hashmap=12, n_march=32, num_frames=4, occ_res=16,
+    )
+    weights = weights._replace(
+        depth_weight=0.1, fs_rgb_weight=0.2, eikonal_weight=0.05,
+        pose_reg_weight=0.01,
+    )
+    st = nof_runner.TrainStatics(
+        spec=spec, rcfg=rcfg, weights=weights, n_rand=64, n_step=50,
+        trunc=0.02, trunc_start=0.02, trunc_decay_type="", sc_factor=1.0,
+    )
+    optimizer = optax.adam(1e-2, eps=1e-15)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(0)
+    n_rays = jnp.asarray(rays.shape[0], jnp.int32)
+
+    single_step, _ = nof_runner.make_train_step(st, optimizer)
+    sp, so, sm = single_step(params, opt_state, 0, key, rays, n_rays, grid, c2w)
+
+    mesh = mesh_mod.make_mesh(8)
+    dp_step, place = nof_shard.make_dp_train_step(st, optimizer, mesh)
+    pp, po, rays_d, grid_d, c2w_d = place(params, opt_state, rays, grid, c2w)
+    dp, do, dm = dp_step(pp, po, 0, key, rays_d, n_rays, grid_d, c2w_d)
+
+    # same optional terms present and equal
+    for k in ("depth_loss", "fs_rgb_loss", "eikonal_loss", "loss"):
+        assert k in dm, k
+        np.testing.assert_allclose(float(sm[k]), float(dm[k]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        dict(sp), dict(dp),
+    )

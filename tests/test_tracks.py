@@ -34,3 +34,26 @@ def test_tracks_forget_frame():
     t.add_matches(0, 1, np.array([[10, 10]]), np.array([[50, 50]]), np.array([True]))
     t.forget_frame(1)
     assert t.n_covisible(0, 1) == 0
+
+
+def test_tracks_memory_bounded_over_long_video():
+    """forget_frame must compact the union-find: over a long sliding-window
+    video the parent table stays O(live keys), not O(total history)."""
+    import numpy as np
+    from bundlesdf_tpu.tracking.corres import FeatureTracks
+
+    tr = FeatureTracks()
+    rng = np.random.default_rng(0)
+    window = 5
+    for f in range(300):
+        uvA = rng.uniform(0, 400, (32, 2))
+        uvB = uvA + rng.uniform(-1, 1, (32, 2))
+        inl = np.ones(32, bool)
+        if f > 0:
+            tr.add_matches(f, f - 1, uvA, uvB, inl)
+        if f >= window:
+            tr.forget_frame(f - window)
+    n_live = sum(len(ks) for ks in tr._frame_keys.values())
+    assert len(tr._parent) <= max(1024, 2 * n_live) + 64 * 2  # one frame's slack
+    # connectivity among live frames survives compaction
+    assert tr.n_covisible(299, 298) > 0

@@ -2,18 +2,30 @@
 online budget — the #1 hot loop of the pipeline (SURVEY.md §3.5: 500 steps
 x 2048 rays x ~192 samples per keyframe batch; config.yml:2,7,18-19,44-47).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "backend"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "backend",
+   "roofline_frac", "access_floor_ms", "e2e_fps", "e2e_frames"}
+
+value            — train steps/s, measured through the PRODUCT loop
+                   (make_train_loop scan, loop_chunk=50 — config.py) at the
+                   reference budget with the shipped scatter mode.
+roofline_frac    — access_floor_ms / step_ms: the step's irreducible
+                   random-access program (the 4 hash levels' row gathers +
+                   segment-compact scatters at identical shapes) timed on
+                   the same chip.  1.0 would mean the whole step costs no
+                   more than its bare HBM random accesses.
+e2e_fps          — frames/s of a small end-to-end tracking+NOF run (6
+                   frames, 320^2 dots cube, product config) measured over
+                   frames 2..N (first frames carry the XLA compiles).
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); we anchor
-vs_baseline to 100 train steps/s — an ESTIMATE of the reference's torch+
-tsdf-CUDA online loop on its single desktop GPU (500-step chunks at the
-"near-real-time" budget).  vs_baseline = steps_per_s / 100.  The estimate
-is flagged in the output ("baseline_is_estimate": true).
+vs_baseline to 100 train steps/s — an ESTIMATE of the reference's torch
+online loop on its single desktop GPU.  vs_baseline = steps_per_s / 100,
+flagged with "baseline_is_estimate": true.
 
-Resilience: the tunneled TPU backend is flaky (round-1 BENCH was lost to a
-single failed attempt).  The benchmark runs in a child process with bounded
-retries; a persistent backend failure produces a structured error JSON
-(backend "unavailable") instead of a non-zero exit with no record.
+Resilience: the tunneled TPU backend is flaky; the benchmark runs in a
+child process with bounded retries; a persistent backend failure produces
+a structured error JSON (backend "unavailable") instead of a bare failure.
 """
 import json
 import os
@@ -25,13 +37,14 @@ RETRIES = 5
 RETRY_WAIT_S = 30.0
 
 
-def run_bench():
+def _bench_steps():
     import numpy as np
     import jax
+    import jax.numpy as jnp
+    import optax
 
     from __graft_entry__ import _build_nof
     from bundlesdf_tpu.nof import runner as nof_runner
-    import optax
 
     # Reference online budget.
     spec, rcfg, weights, params, rays, c2w, grid = _build_nof(
@@ -51,24 +64,19 @@ def run_bench():
     train_many = nof_runner.make_train_loop(st, optimizer)
 
     key = jax.random.PRNGKey(0)
-
-    # Expand the ray pool so gathers aren't trivially cached.
-    import jax.numpy as jnp
-
     pool = jnp.tile(rays, (8, 1))
     n_rays = jnp.asarray(pool.shape[0], jnp.int32)
 
-    # Warmup / compile (the scanned loop is what the pipeline runs:
-    # one device launch per 25 steps instead of per step).
-    CHUNK = 25
+    # One launch per CHUNK scanned steps — the shipped configuration
+    # (config.py loop_chunk: 50).
+    CHUNK = 50
     params_c, opt_c, metrics = train_many(
         params, opt_state, 0, key, pool, n_rays, grid, c2w, CHUNK
     )
     float(metrics["loss"])  # d2h readback: block_until_ready is NOT an
-    # execution barrier on the tunneled axon backend (it returned after
-    # dispatch, inflating a measured 2.2 steps/s to a bogus 10k steps/s)
+    # execution barrier on the tunneled axon backend
 
-    n_steps = 100
+    n_steps = 200
     t0 = time.perf_counter()
     for i in range(n_steps // CHUNK):
         params_c, opt_c, metrics = train_many(
@@ -78,14 +86,123 @@ def run_bench():
     float(metrics["loss"])  # true barrier (see above)
     dt = time.perf_counter() - t0
     steps_per_s = n_steps / dt
+    step_ms = dt / n_steps * 1e3
 
+    # ---- random-access floor at the step's shapes -----------------------
+    from bundlesdf_tpu.ops import hashgrid as hg
+
+    gspec = spec.grid
+    lps = gspec.level_params()
+    C = gspec.level_dim
+    N = 2048 * (rcfg.n_samples + rcfg.n_samples_around_depth)
+    rng = np.random.default_rng(0)
+    caches = []
+    cells = []
+    compact_idx = []
+    compact_rows = []
+    for p in lps:
+        R3 = p["res"] ** 3
+        caches.append(jnp.asarray(
+            rng.standard_normal((R3, 8 * C)).astype(np.float32)))
+        cells.append(jnp.asarray(rng.integers(0, R3, N).astype(np.int32)))
+        cap = hg._seg_cap(p["res"], rcfg.n_samples + rcfg.n_samples_around_depth)
+        m = 2048 * cap
+        compact_idx.append(jnp.asarray(rng.integers(0, R3, m).astype(np.int32)))
+        compact_rows.append(jnp.asarray(
+            rng.standard_normal((m, 8 * C)).astype(np.float32)))
+
+    @jax.jit
+    def access_floor(caches, cells, cidx, crows):
+        outs = []
+        for li, p in enumerate(lps):
+            R3 = p["res"] ** 3
+            if R3 * 8 * C * 4 > hg._SEG_GATHER_BYTES:
+                comp = caches[li][cidx[li]]          # run-start gather
+                outs.append(comp[cells[li] % comp.shape[0]])  # redistribute
+            else:
+                outs.append(caches[li][cells[li]])    # direct row gather
+            outs.append(hg._cell_cache_scatter(cidx[li], crows[li], R3))
+        return [jnp.sum(o[:1]) for o in outs]
+
+    r = access_floor(caches, cells, compact_idx, compact_rows)
+    float(np.asarray(r[0]))
+    t0 = time.perf_counter()
+    ITS = 10
+    for _ in range(ITS):
+        r = access_floor(caches, cells, compact_idx, compact_rows)
+    float(np.asarray(r[0]))
+    floor_ms = (time.perf_counter() - t0) / ITS * 1e3
+
+    return steps_per_s, step_ms, floor_ms, jax.default_backend()
+
+
+def _bench_e2e():
+    """Tiny end-to-end run: 6-frame 320^2 dots cube, product config; fps
+    measured over the post-compile frames."""
+    import numpy as np
+    import cv2
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from synthetic_cube import render_cube_rgbd
+    from scipy.spatial.transform import Rotation
+
+    from bundlesdf_tpu.config import default_nof_config, default_track_config
+    from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
+
+    H = W = 320
+    K = np.array([[420.0, 0, W / 2], [0, 420.0, H / 2], [0, 0, 1]], np.float32)
+    axis = np.array([0, 1, 0.2]); axis = axis / np.linalg.norm(axis)
+    base = Rotation.from_euler("xyz", [20, 30, 10], degrees=True).as_matrix()
+    frames = []
+    N_FRAMES = 6
+    for k in range(N_FRAMES):
+        R = Rotation.from_rotvec(axis * np.deg2rad(6.0 * k)).as_matrix() @ base
+        ob = np.eye(4); ob[:3, :3] = R
+        ob[:3, 3] = [0.02 * np.sin(k * 0.4), 0.015 * np.cos(k * 0.3), 0.55]
+        rgb, depth, mask = render_cube_rgbd(ob, K, H, W, texture="dots")
+        frames.append((rgb, depth, mask))
+
+    cfg_track = default_track_config()
+    cfg_nof = default_nof_config()
+    out = tempfile.mkdtemp(prefix="bench_e2e_")
+    cfg_nof["save_dir"] = out
+    cfg_track["debug_dir"] = out
+    tracker = BundleSdf(cfg_track=cfg_track, cfg_nof=cfg_nof, out_dir=out,
+                        use_nof=True, save_artifacts=False)
+    t_marks = []
+    for i, (rgb, depth, mask) in enumerate(frames):
+        m = mask
+        if i == 0:
+            m = cv2.erode(mask.astype(np.uint8), np.ones((5, 5), np.uint8))
+        tracker.run(rgb, depth, K, f"{i:05d}", mask=m)
+        t_marks.append(time.perf_counter())
+    # fps over the tail (first frames carry compiles)
+    tail = t_marks[-1] - t_marks[1]
+    fps = (len(t_marks) - 2) / tail if tail > 0 else 0.0
+    return fps, N_FRAMES
+
+
+def run_bench():
+    steps_per_s, step_ms, floor_ms, backend = _bench_steps()
+    try:
+        e2e_fps, e2e_frames = _bench_e2e()
+    except Exception as e:  # e2e must never kill the headline metric
+        e2e_fps, e2e_frames = None, f"error: {e}"
     print(json.dumps({
         "metric": "nof_train_steps_per_s",
         "value": round(steps_per_s, 2),
-        "unit": "steps/s (2048 rays x 192 samples, 4-level hash 2^22)",
+        "unit": "steps/s (2048 rays x 192 samples, 4-level hash 2^22, "
+                "loop_chunk 50)",
         "vs_baseline": round(steps_per_s / 100.0, 3),
         "baseline_is_estimate": True,
-        "backend": jax.default_backend(),
+        "backend": backend,
+        "step_ms": round(step_ms, 2),
+        "access_floor_ms": round(floor_ms, 2),
+        "roofline_frac": round(floor_ms / step_ms, 3),
+        "e2e_fps": (round(e2e_fps, 4) if isinstance(e2e_fps, float) else e2e_fps),
+        "e2e_frames": e2e_frames,
     }))
 
 
@@ -97,7 +214,7 @@ def main():
     for attempt in range(RETRIES):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker"],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=3000,
         )
         for line in reversed(proc.stdout.strip().splitlines()):
             try:

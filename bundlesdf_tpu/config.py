@@ -218,6 +218,8 @@ def default_nof_config() -> Cfg:
             "log2_hashmap_size": 22,
             # TPU-specific encoder knobs (no reference equivalent):
             # hash_layout: exact|cell (ops/hashgrid.py layouts);
+            # hash_scatter: auto|seg|xla|pallas — 'auto' resolves to 'seg'
+            # (segment-dedup backward, f32-reorder-equivalent to 'xla');
             # hash_scatter: auto|xla|pallas (backward scatter engine —
             # auto resolves to xla; pallas is a measured-neutral
             # reference kernel, ops/hashgrid_pallas.py).

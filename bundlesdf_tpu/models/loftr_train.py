@@ -46,6 +46,36 @@ def random_texture(key, H, W):
     return img / (img.max() + 1e-8)
 
 
+def random_dots_texture(key, H, W, n_dots: int = 96):
+    """Random bright/dark discs on a mid-grey shaded base — the texture
+    family of the synthetic fixtures (tests/synthetic_{cube,hard}.py dot
+    textures) and of speckle-textured real objects.  Pure JAX so the batch
+    generator stays jittable."""
+    kc, kr, kv, kb = jax.random.split(key, 4)
+    centers = jax.random.uniform(kc, (n_dots, 2), minval=0.0,
+                                 maxval=1.0) * jnp.array([H - 1.0, W - 1.0])
+    radii = jax.random.uniform(kr, (n_dots,), minval=2.0, maxval=6.0)
+    vals = jax.random.uniform(kv, (n_dots,), minval=-0.5, maxval=0.5)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :, None]
+    d2 = (ys - centers[:, 0]) ** 2 + (xs - centers[:, 1]) ** 2
+    disc = jax.nn.sigmoid((radii ** 2 - d2) / (radii + 1.0))  # soft edge
+    img = 0.5 + jnp.sum(disc * vals, axis=-1)
+    # mild low-frequency shading so brightness constancy isn't trivial
+    shade = jax.image.resize(jax.random.uniform(kb, (4, 4)), (H, W), "linear")
+    img = img * (0.7 + 0.6 * shade)
+    img = img - img.min()
+    return img / (img.max() + 1e-8)
+
+
+def mixed_texture(key, H, W):
+    """50/50 smooth-multiscale vs dots (select is jit-friendly)."""
+    ksel, ka, kb = jax.random.split(key, 3)
+    a = random_texture(ka, H, W)
+    b = random_dots_texture(kb, H, W)
+    return jnp.where(jax.random.uniform(ksel) < 0.5, a, b)
+
+
 def random_homography(key, H, W, max_angle=0.3, max_scale=0.15, max_trans=0.12,
                       max_persp=1e-4):
     """Random similarity + mild perspective about the image center."""
@@ -106,7 +136,7 @@ def make_batch(key, batch: int, H: int, W: int, max_gt: int) -> HomographyBatch:
 
     def one(k):
         k1, k2 = jax.random.split(k)
-        img0 = random_texture(k1, H, W)
+        img0 = mixed_texture(k1, H, W)
         Hm = random_homography(k2, H, W)
         img1 = warp_image(img0, Hm)
         # GT: coarse cell centers of img0 -> img1
@@ -199,10 +229,13 @@ def make_train_step(module: LoftrModule, tcfg: TrainCfg, optimizer,
 
 def train_loftr(cfg: LoftrCfg | None = None, tcfg: TrainCfg = TrainCfg(),
                 n_steps: int = 200, seed: int = 0, mesh: Mesh | None = None,
-                log_every: int = 20):
+                log_every: int = 20, save_path: str = "",
+                save_every: int = 2000):
     """Train from scratch; returns (params, history). The trained params
     plug straight into ``LoftrMatcher(cfg, params=params)`` — the training
-    module shares every submodule name with the inference module."""
+    module shares every submodule name with the inference module.  With
+    ``save_path`` the params are periodically flushed as an .npz that
+    loftr_jax.load_checkpoint consumes directly."""
     cfg = cfg or LoftrCfg()
     module = LoftrModule(cfg)
     key = jax.random.PRNGKey(seed)
@@ -217,15 +250,41 @@ def train_loftr(cfg: LoftrCfg | None = None, tcfg: TrainCfg = TrainCfg(),
     opt_state = optimizer.init(params)
     step = make_train_step(module, tcfg, optimizer, mesh)
     hist = []
+
+    def _save(params):
+        if not save_path:
+            return
+        from .loftr_jax import save_params_npz
+
+        save_params_npz(params, save_path)
+
     for i in range(n_steps):
         key, k = jax.random.split(key)
         params, opt_state, metrics = step(params, opt_state, k, i)
         if i % log_every == 0 or i == n_steps - 1:
             m = {k2: float(v) for k2, v in metrics.items()}
             hist.append({"step": i, **m})
-            print(f"step {i}: {m}")
+            print(f"step {i}: {m}", flush=True)
+        if save_every and (i + 1) % save_every == 0:
+            _save(params)
+    _save(params)
     return params, hist
 
 
 if __name__ == "__main__":
-    train_loftr(n_steps=100)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--save_every", type=int, default=2000)
+    ap.add_argument("--log_every", type=int, default=50)
+    args = ap.parse_args()
+    train_loftr(
+        tcfg=TrainCfg(batch=args.batch, lr=args.lr,
+                      warmup=max(50, args.steps // 20)),
+        n_steps=args.steps, log_every=args.log_every,
+        save_path=args.out, save_every=args.save_every,
+    )

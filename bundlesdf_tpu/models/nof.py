@@ -132,7 +132,9 @@ def nof_forward(
     N, S = pts.shape[:2]
     flat = pts.reshape(-1, 3)
     valid = jnp.all(jnp.abs(flat) <= 1.0, axis=-1).reshape(N, S)
-    emb = hashgrid.encode(flat, params["table"], spec.grid)
+    # rays are axis 0 with z-ordered samples contiguous -> the encode's
+    # backward can segment-dedup its scatters (spec.grid.scatter == 'seg')
+    emb = hashgrid.encode(flat, params["table"], spec.grid, n_rays=N)
     emb = jnp.where(valid.reshape(-1, 1), emb, 0.0)  # reference zeroes invalid
     h = _mlp_sigma(params["sigma"], emb)  # (N*S, 1+g)
     sdf = h[:, :1]

@@ -284,6 +284,13 @@ def make_train_loop(st: TrainStatics, optimizer):
     return train_many
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def _pose_matrices_full(pose_data, spec):
+    """All num_frames pose-correction matrices in one fixed-shape program."""
+    return nof_model.pose_array_matrices(
+        pose_data, spec, jnp.arange(spec.num_frames))
+
+
 class NofRunner:
     """One NOF training session over the current keyframe set.
 
@@ -438,6 +445,10 @@ class NofRunner:
 
     # ------------------------------------------------------------------
     def build_occupancy(self, pts: np.ndarray):
+        with span("nof/build_occupancy"):
+            return self._build_occupancy_impl(pts)
+
+    def _build_occupancy_impl(self, pts: np.ndarray):
         pts = np.asarray(pts, dtype=np.float32).reshape(-1, 3)
         if len(pts) == 0:
             pts = np.zeros((1, 3), dtype=np.float32)
@@ -552,6 +563,10 @@ class NofRunner:
         return rays[out]
 
     def _build_all_rays(self, frame_ids) -> np.ndarray:
+        with span("nof/build_rays"):
+            return self._build_all_rays_impl(frame_ids)
+
+    def _build_all_rays_impl(self, frame_ids) -> np.ndarray:
         chunks = [self._build_frame_rays(f) for f in frame_ids]
         chunks = [c for c in chunks if len(c)]
         if not chunks:
@@ -589,6 +604,10 @@ class NofRunner:
         return rays[keep]
 
     def _upload_rays(self):
+        with span("nof/upload_rays"):
+            return self._upload_rays_impl()
+
+    def _upload_rays_impl(self):
         # Hard pool cap (cfg ray_pool_max_log2): beyond it, uniformly
         # subsample the pool instead of growing — the analogue of the
         # reference capping training images at n_train_image
@@ -845,8 +864,12 @@ class NofRunner:
         original[:, :3, 3] /= sc
         original[:, :3, 3] -= translation
 
-        ids = jnp.arange(self.n_frames)
-        tf = np.asarray(nof_model.pose_array_matrices(self.params["pose_array"], self.spec, ids))
+        # ONE fixed-shape jitted call (module-cached): an eager or
+        # n_frames-shaped version retraces + re-dispatches ~20 ops over the
+        # tunnel every NOF chunk.
+        tf = np.asarray(
+            _pose_matrices_full(self.params["pose_array"], self.spec)
+        )[: self.n_frames]
         optimized = tf @ poses_n
         optimized[:, :3, 3] /= sc
         optimized[:, :3, 3] -= translation

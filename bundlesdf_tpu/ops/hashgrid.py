@@ -421,7 +421,54 @@ def _corner_sels(fracs, c):
     )
 
 
-def _encode_cell_impl(x, table, spec: HashGridSpec):
+# Dense levels whose corner cache exceeds this byte size gather through
+# the two-stage (run-start + small-source redistribute) path when the
+# ray-structured 'seg' mode is on: XLA's row-gather cost scales with
+# SOURCE size (~0 ms in-situ from <= 8 MB, ~7 ms from 134 MB at 393K rows
+# — scripts/probe_fwdgather.py), so fetching each distinct cell once from
+# HBM and redistributing from a compact VMEM-sized buffer wins big.
+_SEG_GATHER_BYTES = 64 * 1024 * 1024
+
+
+def _cell_rows_seg(axes, cache, p, C: int, n_rays: int, n_pts: int):
+    """Two-stage run-dedup gather (bitwise-identical rows to _cell_rows):
+    gather each run's cache row once, then redistribute per sample from
+    the compact buffer.  Falls back to the direct gather when a ray has
+    more runs than the static cap (cond, both branches compiled)."""
+    R = p["res"]
+    pgs, fracs = _level_fracs(axes, p)
+    cell = _cell_of(pgs, R)
+    S = n_pts // n_rays
+    cap = _seg_cap(R, S)
+    cell2d = cell.reshape(n_rays, S)
+    b = jnp.ones((n_rays, S), bool).at[:, 1:].set(
+        cell2d[:, 1:] != cell2d[:, :-1])
+    n_runs = jnp.sum(b, axis=1)
+
+    def seg_path(cell_flat):
+        seg_id = jnp.cumsum(b, axis=1) - 1  # (n_rays, S)
+        ks = jnp.arange(cap)
+        # first sample of run k = #samples in runs < k
+        cnt_less = jnp.sum((seg_id[:, None, :] < ks[None, :, None]), axis=2)
+        start_pos = jnp.clip(cnt_less, 0, S - 1)
+        flat_start = (jnp.arange(n_rays)[:, None] * S + start_pos).reshape(-1)
+        compact = cache[cell_flat[flat_start]]  # (n_rays*cap, 8C) from HBM
+        flat_sid = (jnp.arange(n_rays)[:, None] * cap
+                    + jnp.minimum(seg_id, cap - 1)).reshape(-1)
+        return compact[flat_sid]  # (N, 8C) from the small buffer
+
+    def direct_path(cell_flat):
+        return cache[cell_flat]
+
+    if cap >= S:
+        rows = seg_path(cell)
+    else:
+        rows = jax.lax.cond(jnp.max(n_runs) <= cap, seg_path, direct_path,
+                            cell)
+    return rows, fracs, cell
+
+
+def _encode_cell_impl(x, table, spec: HashGridSpec, n_rays: int = 0):
     """Forward for the "cell" layout.  Returns (out, per-level rows)."""
     C = spec.level_dim
     axes = _axes01(x)
@@ -431,7 +478,14 @@ def _encode_cell_impl(x, table, spec: HashGridSpec):
     for p, view in zip(spec.level_params(), views):
         if p["dense"]:
             cache = _build_cell_cache(view, p, C)
-            rows, fracs, _ = _cell_rows(axes, cache, p, C)
+            cache_bytes = (p["res"] ** 3) * 8 * C * 4
+            if (spec.scatter == "seg" and n_rays > 0
+                    and x.shape[0] % n_rays == 0
+                    and cache_bytes > _SEG_GATHER_BYTES):
+                rows, fracs, _ = _cell_rows_seg(
+                    axes, cache, p, C, n_rays, x.shape[0])
+            else:
+                rows, fracs, _ = _cell_rows(axes, cache, p, C)
         else:
             rows, fracs, _ = _hashed_rows(axes, view, p, C)
         rows_all.append(rows)
@@ -529,7 +583,86 @@ def _cell_cache_scatter(cell, d_rows, n_dest_rows: int):
         cell].add(d_rows, mode="promise_in_bounds")
 
 
+def _seg_cap(res: int, n_samples: int) -> int:
+    """Static per-ray run capacity for segment-dedup (see
+    _seg_cell_scatter).  Sized ~2x the typical distinct-cell count of a
+    z-ordered sample set at this resolution (probe:
+    scripts/probe_segdedup_r3.py — lv0 mean 8/max 11, lv3 mean 42/max 52
+    at the online geometry); the runtime cond falls back to the direct
+    scatter when a ray exceeds it, so the cap trades speed, not
+    correctness."""
+    if res <= 16:
+        cap = 16
+    elif res <= 32:
+        cap = 24
+    elif res <= 64:
+        cap = 40
+    else:
+        cap = 72
+    return min(n_samples, cap)
+
+
+def _seg_cell_scatter(cell2d, d_rows2d, n_dest_rows: int, cap: int):
+    """Segment-dedup scatter-add: samples along a ray are z-ordered, so
+    consecutive samples repeat the same cell (~4-24x on the online
+    budget's levels).  Pre-sum each equal-cell run with a segmented
+    prefix scan and scatter ONE row per run — XLA's TPU scatter charges
+    per update row (~13-30 ns, BASELINE.md), so row count is everything.
+    Measured: the 4 online levels' scatters 20.7 -> 6.6 ms including all
+    machinery (scripts/probe_segdedup_r3.py).
+
+    cell2d: (n_rays, S) int32; d_rows2d: (n_rays, S, F).
+    Numerics: each run's sum is the plain left-to-right f32 sum of its
+    samples — the same addend set the direct path hands XLA's
+    (unspecified-order) scatter-add; results differ only by f32
+    reordering.  Rays with more than ``cap`` runs trigger a cond fallback
+    to the exact direct scatter (both branches compiled; runtime picks).
+    """
+    n_rays, S = cell2d.shape
+    F = d_rows2d.shape[-1]
+    b = jnp.ones((n_rays, S), bool).at[:, 1:].set(
+        cell2d[:, 1:] != cell2d[:, :-1])
+    n_runs = jnp.sum(b, axis=1)
+
+    def seg_path(args):
+        cell2d, d_rows2d, b = args
+        seg_id = jnp.cumsum(b, axis=1) - 1  # (n_rays, S)
+
+        def comb(a, x):
+            av, af = a
+            xv, xf = x
+            return jnp.where(xf[..., None], xv, av + xv), af | xf
+
+        vals, _ = jax.lax.associative_scan(comb, (d_rows2d, b), axis=1)
+        ks = jnp.arange(cap)
+        # index of the last sample of run k = (#samples in runs <= k) - 1
+        cnt = jnp.sum((seg_id[:, None, :] <= ks[None, :, None]), axis=2)
+        end_pos = jnp.clip(cnt - 1, 0, S - 1)  # (n_rays, cap)
+        slot_valid = ks[None, :] < n_runs[:, None]
+        flat_pos = (jnp.arange(n_rays)[:, None] * S + end_pos).reshape(-1)
+        rows = vals.reshape(n_rays * S, F)[flat_pos]
+        cells = cell2d.reshape(-1)[flat_pos]
+        rows = jnp.where(slot_valid.reshape(-1)[:, None], rows, 0.0)
+        cells = jnp.where(slot_valid.reshape(-1), cells, 0)
+        return _cell_cache_scatter(cells.astype(jnp.int32), rows, n_dest_rows)
+
+    def direct_path(args):
+        cell2d, d_rows2d, _ = args
+        return _cell_cache_scatter(
+            cell2d.reshape(-1).astype(jnp.int32),
+            d_rows2d.reshape(-1, F), n_dest_rows)
+
+    if cap >= S:  # dedup cannot overflow; also covers tiny-S test shapes
+        return seg_path((cell2d, d_rows2d, b))
+    return jax.lax.cond(
+        jnp.max(n_runs) <= cap, seg_path, direct_path, (cell2d, d_rows2d, b))
+
+
 def _hash_encode_cell_bwd(spec, res, g):
+    return _cell_bwd_impl(spec, 0, res, g)
+
+
+def _cell_bwd_impl(spec, n_rays, res, g):
     x, rows_all = res
     C = spec.level_dim
     axes = _axes01(x)
@@ -569,6 +702,13 @@ def _hash_encode_cell_bwd(spec, res, g):
             d_rows = jnp.stack(d_cols, axis=-1)  # (N, 8*C) scatter operand
             if spec.scatter == "pallas" and R * R * R <= _PALLAS_FUSE_ROWS:
                 fuse.append((li, p, cell, d_rows))
+            elif spec.scatter == "seg" and n_rays > 0:
+                S = x.shape[0] // n_rays
+                d_cache = _seg_cell_scatter(
+                    cell.reshape(n_rays, S),
+                    d_rows.reshape(n_rays, S, 8 * C),
+                    R * R * R, _seg_cap(R, S))
+                d_levels[li] = _reduce_cell_cache_grad(d_cache, p, C)
             else:
                 d_cache = _cell_cache_scatter(cell, d_rows, R * R * R)
                 d_levels[li] = _reduce_cell_cache_grad(d_cache, p, C)
@@ -609,15 +749,44 @@ def _hash_encode_cell_bwd(spec, res, g):
 hash_encode_cell.defvjp(_hash_encode_cell_fwd, _hash_encode_cell_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def hash_encode_cell_rays(
+    x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec, n_rays: int
+) -> jnp.ndarray:
+    """Ray-structured variant of hash_encode_cell: x is (n_rays * S, 3)
+    with each ray's S samples contiguous and z-ordered.  When
+    spec.scatter == 'seg' the z ordering powers segment-dedup scatters in
+    the backward and two-stage run gathers in the forward (bitwise-equal
+    rows; table grads differ only by f32 summation order)."""
+    return _encode_cell_impl(x, table, spec, n_rays)[0]
+
+
+def _hash_encode_cell_rays_fwd(x, table, spec, n_rays):
+    out, rows_all = _encode_cell_impl(x, table, spec, n_rays)
+    return out, (x, rows_all)
+
+
+def _hash_encode_cell_rays_bwd(spec, n_rays, res, g):
+    return _cell_bwd_impl(spec, n_rays, res, g)
+
+
+hash_encode_cell_rays.defvjp(_hash_encode_cell_rays_fwd,
+                             _hash_encode_cell_rays_bwd)
+
+
 def resolve_scatter(pref: str = "auto", dp_devices: int = 1) -> str:
-    """Resolve the spec.scatter knob.  "auto" = "xla": the fused pallas
-    scatter measured COST-NEUTRAL in situ (XLA's in-program scatter is
-    ~13 ns/row vs the pallas scalar-loop floor of ~25 ns/iteration) and
-    the VMEM-resident accumulators exceed the 16 MB scoped-vmem budget
-    inside the fused train-step program beyond level 0.  The kernel stays
-    selectable ("pallas") as a measured reference point; it cannot be
-    GSPMD-partitioned, so sharded (dp_devices > 1) programs are forced
-    back to "xla" with a warning."""
+    """Resolve the spec.scatter knob.
+
+    "auto" = "seg": segment-dedup scatters + two-stage run gathers on
+    ray-structured batches (train step 69 -> 53 ms at the online budget,
+    round-3 probes); callers without ray structure transparently use the
+    per-sample path, and a runtime cond falls back to it when a ray
+    exceeds the run cap — so "seg" is safe everywhere, differing from
+    "xla" only by f32 summation order in the table gradient.  "xla" = the
+    bitwise-deterministic per-sample path.  "pallas" = the fused VMEM
+    scatter kernel, kept selectable as a measured reference point; it
+    cannot be GSPMD-partitioned, so sharded (dp_devices > 1) programs are
+    forced back with a warning."""
     if pref == "pallas" and dp_devices > 1:
         import warnings
 
@@ -627,11 +796,19 @@ def resolve_scatter(pref: str = "auto", dp_devices: int = 1) -> str:
         return "xla"
     if pref != "auto":
         return pref
-    return "xla"
+    return "seg"
 
 
-def encode(x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
-    """Dispatch on spec.layout (static) — the single entry point callers use."""
+def encode(x: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec,
+           n_rays: int = 0) -> jnp.ndarray:
+    """Dispatch on spec.layout (static) — the single entry point callers use.
+
+    ``n_rays`` > 0 declares that x is (n_rays * S, 3) with each ray's
+    z-ordered samples contiguous, enabling the segment-dedup backward
+    (spec.scatter == 'seg').  Callers without ray structure (mesh
+    extraction, arbitrary point queries) leave it 0."""
     if spec.layout == "cell":
+        if n_rays > 0 and x.shape[0] % n_rays == 0:
+            return hash_encode_cell_rays(x, table, spec, n_rays)
         return hash_encode_cell(x, table, spec)
     return hash_encode(x, table, spec)

@@ -100,10 +100,19 @@ class BundleSdf:
             self.process_new_frame(frame)
 
         if self.use_nof and self.bundler.keyframes and self.bundler.keyframes[-1] is frame:
-            # Strict-sync NOF scheduling (sync_max_delay 0): train whenever
-            # enough keyframes are pending.
+            # NOF scheduling under the reference sync contract
+            # (bundlesdf.py:571-582 + config.yml sync_max_delay): the
+            # tracker runs ahead until the keyframe backlog reaches
+            # sync_max_delay, then a NOF round drains the whole batch.
+            # 0 = strict lockstep (one round per keyframe), D>0 = loose
+            # sync with rounds over D-keyframe batches — the serialized
+            # equivalent of the reference's concurrent worker whose train
+            # round spans the arrival of ~D keyframes.
             n_kf = len(self.bundler.keyframes)
-            if (self.nof is not None) or (n_kf >= self.start_nerf_keyframes):
+            delay = int(self.cfg_nof.get("sync_max_delay", 0))
+            backlog = n_kf - self._kf_sent
+            if ((self.nof is not None) or (n_kf >= self.start_nerf_keyframes)) \
+                    and backlog >= max(1, delay):
                 with span("nof/chunk"):
                     self._run_nof_chunk()
                 with span("nof/feedback"):
@@ -279,19 +288,20 @@ class BundleSdf:
                 )
         else:
             # incrementally fuse new keyframe clouds (bundlesdf.py:162-177)
-            pts_new = []
-            for i, f in enumerate(new_kfs):
-                glc = f.pose_in_model @ GLCAM_IN_CVCAM
-                pts, _ = sb.fuse_frame_cloud(depths[i], rgbs[i], masks[i], self.K, glc)
-                if pts is not None:
-                    pts_new.append(pts)
-            allpts = np.concatenate([self._pcd_real] + pts_new) if pts_new else self._pcd_real
-            allpts, _ = sb.voxel_downsample(allpts, None, 0.01)
-            allpts, _ = sb.find_biggest_cluster(
-                allpts, eps=float(self.cfg_nof["dbscan_eps"]),
-                min_samples=int(self.cfg_nof["dbscan_eps_min_samples"]),
-            )
-            self._pcd_real = allpts
+            with span("nof/fuse_cluster"):
+                pts_new = []
+                for i, f in enumerate(new_kfs):
+                    glc = f.pose_in_model @ GLCAM_IN_CVCAM
+                    pts, _ = sb.fuse_frame_cloud(depths[i], rgbs[i], masks[i], self.K, glc)
+                    if pts is not None:
+                        pts_new.append(pts)
+                allpts = np.concatenate([self._pcd_real] + pts_new) if pts_new else self._pcd_real
+                allpts, _ = sb.voxel_downsample(allpts, None, 0.01)
+                allpts, _ = sb.find_biggest_cluster(
+                    allpts, eps=float(self.cfg_nof["dbscan_eps"]),
+                    min_samples=int(self.cfg_nof["dbscan_eps_min_samples"]),
+                )
+                self._pcd_real = allpts
             pr, pd, pm, poses_n = self._preprocess(rgbs, depths, masks, glcam_in_obs)
             pcd_norm = (allpts + self.translation) * self.sc_factor
             with span("nof/add_new_frames"):
@@ -300,7 +310,8 @@ class BundleSdf:
         self._kf_sent = len(kfs)
         self.nof.train(int(self.cfg_nof["n_step"]))
 
-        poses_out, offset = self.nof.get_optimized_poses_in_real_world()
+        with span("nof/pose_export"):
+            poses_out, offset = self.nof.get_optimized_poses_in_real_world()
         self._nof_poses_pending = poses_out
         # Per-chunk mesh extraction only feeds the GUI (reference writes the
         # mesh into the shared dict each NeRF batch, bundlesdf.py:237-241);

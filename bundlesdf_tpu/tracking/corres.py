@@ -30,6 +30,7 @@ from ..config import Cfg
 from ..models import matcher as matcher_mod
 from ..ops import ransac as ransac_ops
 from ..utils import se3
+from ..utils.profiler import span
 from .frame import Frame
 
 
@@ -243,10 +244,11 @@ def find_corres(
     imgsA, imgsB = [], []
     tfsA = [None] * len(pairs)
     tfsB = [None] * len(pairs)
-    for i in fresh_idx:
-        fa, fb = pairs[i]
-        a, b, ta, tb = process_image_pair(fa, fb, out_size)
-        imgsA.append(a); imgsB.append(b); tfsA[i] = ta; tfsB[i] = tb
+    with span("corres/warp"):
+        for i in fresh_idx:
+            fa, fb = pairs[i]
+            a, b, ta, tb = process_image_pair(fa, fb, out_size)
+            imgsA.append(a); imgsB.append(b); tfsA[i] = ta; tfsB[i] = tb
 
     corres_b = valid_b = None
     if fresh_idx:
@@ -259,18 +261,19 @@ def find_corres(
         for _ in range(n_pad - n_fresh):
             imgsA.append(imgsA[0]); imgsB.append(imgsB[0])
 
-        if matcher_fn is None and store.matcher is not None:
-            matcher_fn = store.matcher.predict
-        if matcher_fn is None:
-            res = matcher_mod.match_pairs_batched(
-                jnp.asarray(np.stack(imgsA)), jnp.asarray(np.stack(imgsB)),
-                matcher_cfg
-            )
-            corres_b = np.asarray(res["corres"])[:n_fresh]
-            valid_b = np.asarray(res["valid"])[:n_fresh]
-        else:
-            corres_b, valid_b = matcher_fn(np.stack(imgsA), np.stack(imgsB))
-            corres_b, valid_b = corres_b[:n_fresh], valid_b[:n_fresh]
+        with span("corres/match"):
+            if matcher_fn is None and store.matcher is not None:
+                matcher_fn = store.matcher.predict
+            if matcher_fn is None:
+                res = matcher_mod.match_pairs_batched(
+                    jnp.asarray(np.stack(imgsA)), jnp.asarray(np.stack(imgsB)),
+                    matcher_cfg
+                )
+                corres_b = np.asarray(res["corres"])[:n_fresh]
+                valid_b = np.asarray(res["valid"])[:n_fresh]
+            else:
+                corres_b, valid_b = matcher_fn(np.stack(imgsA), np.stack(imgsB))
+                corres_b, valid_b = corres_b[:n_fresh], valid_b[:n_fresh]
 
     rcfg = cfg["ransac"]
     params = ransac_ops.RansacParams(
@@ -330,11 +333,12 @@ def find_corres(
         max_trans[i] = float(rcfg["max_trans_neighbor"] if neighbor else rcfg["max_trans_no_neighbor"])
         max_rot[i] = float(rcfg["max_rot_deg_neighbor"] if neighbor else rcfg["max_rot_no_neighbor"])
 
-    res = ransac_ops.ransac_multi_pair(
-        key, jnp.asarray(ptsA), jnp.asarray(ptsB), jnp.asarray(nA), jnp.asarray(nB),
-        jnp.asarray(valid), params, jnp.asarray(max_trans), jnp.asarray(max_rot),
-    )
-    inliers = np.asarray(res["inliers"])
+    with span("corres/ransac"):
+        res = ransac_ops.ransac_multi_pair(
+            key, jnp.asarray(ptsA), jnp.asarray(ptsB), jnp.asarray(nA), jnp.asarray(nB),
+            jnp.asarray(valid), params, jnp.asarray(max_trans), jnp.asarray(max_rot),
+        )
+        inliers = np.asarray(res["inliers"])
     for i, (fa, fb) in enumerate(pairs):
         g = gated[i]
         g["inlier"] = inliers[i] & g["valid"]

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def run_engine(video_dir, out_folder, matcher):
+def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=None):
     import cv2
     from bundlesdf_tpu.config import default_nof_config, default_track_config
     from bundlesdf_tpu.io.readers import YcbineoatReader
@@ -35,10 +35,14 @@ def run_engine(video_dir, out_folder, matcher):
 
     cfg_track = default_track_config()
     cfg_track["feature_corres"]["matcher"] = matcher
+    if loftr_ckpt:
+        cfg_track["feature_corres"]["loftr_ckpt"] = loftr_ckpt
     cfg_track["depth_processing"]["zfar"] = 1.0
     cfg_track["debug_dir"] = out_folder
     cfg_nof = default_nof_config()
     cfg_nof["save_dir"] = out_folder
+    if sync_max_delay is not None:
+        cfg_nof["sync_max_delay"] = int(sync_max_delay)
     import math
 
     n_video = len(os.listdir(os.path.join(video_dir, "rgb")))
@@ -72,7 +76,27 @@ def run_engine(video_dir, out_folder, matcher):
     return wall, n_fail
 
 
-def evaluate(video_dir, out_folder):
+def run_global_refine(video_dir, out_folder, refine_steps=None):
+    """Offline global refinement on the online outputs at the reference
+    offline budget (run_custom.py:111-133 / VERDICT r2 #4).  Returns the
+    wall time; the textured mesh lands at out_folder/textured_mesh.obj."""
+    import shutil
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_custom import run_one_video_global_nerf
+
+    # run_custom resolves K from the out_folder's parent
+    k_src = os.path.join(video_dir, "cam_K.txt")
+    k_dst = os.path.join(os.path.dirname(out_folder), "cam_K.txt")
+    if os.path.exists(k_src) and not os.path.exists(k_dst):
+        shutil.copy(k_src, k_dst)
+    t0 = time.perf_counter()
+    run_one_video_global_nerf(out_folder, get_texture=True,
+                              refine_steps=refine_steps)
+    return time.perf_counter() - t0
+
+
+def evaluate(video_dir, out_folder, mesh_name="mesh_online.obj"):
     from synthetic_hard import blob_surface_distance
     from bundlesdf_tpu.utils import metrics
 
@@ -89,7 +113,7 @@ def evaluate(video_dir, out_folder):
         "mean_ADD_cm": round(res["mean_add"] * 100, 3),
         "mean_ADDS_cm": round(res["mean_adds"] * 100, 3),
     }
-    mesh_file = f"{out_folder}/mesh_online.obj"
+    mesh_file = f"{out_folder}/{mesh_name}"
     if os.path.exists(mesh_file):
         # mesh is in the object frame of the FIRST prediction; move to GT
         # object frame via pose composition then closed-form blob distance
@@ -118,6 +142,17 @@ def main():
     ap.add_argument("--deg", type=float, default=7.0)
     ap.add_argument("--workdir", default="/tmp/synth_hard")
     ap.add_argument("--skip_gen", action="store_true")
+    ap.add_argument("--skip_online", action="store_true",
+                    help="reuse existing out_<matcher> run directories")
+    ap.add_argument("--loftr_ckpt", default="",
+                    help=".npz weights for the loftr engine")
+    ap.add_argument("--sync_delay", type=int, default=None,
+                    help="override cfg_nof sync_max_delay")
+    ap.add_argument("--global_refine", action="store_true",
+                    help="after the FIRST matcher's online run, run the "
+                         "offline global refine at the reference budget "
+                         "and report post-refine mesh quality")
+    ap.add_argument("--refine_steps", type=int, default=None)
     args = ap.parse_args()
 
     video_dir = os.path.join(args.workdir, "video")
@@ -136,16 +171,36 @@ def main():
             "noise_model": "spatially-correlated (10 px) + 2% dropout + mm quantization",
         }
     }
-    for m in args.matchers.split(","):
-        m = m.strip()
+    if args.sync_delay is not None:
+        report["fixture"]["sync_max_delay"] = args.sync_delay
+    matchers = [m.strip() for m in args.matchers.split(",") if m.strip()]
+    for m in matchers:
         out_folder = os.path.join(args.workdir, f"out_{m}")
-        wall, n_fail = run_engine(video_dir, out_folder, m)
+        if not args.skip_online:
+            wall, n_fail = run_engine(video_dir, out_folder, m,
+                                      loftr_ckpt=args.loftr_ckpt,
+                                      sync_max_delay=args.sync_delay)
+        else:
+            wall, n_fail = 0.0, -1
         r = evaluate(video_dir, out_folder)
-        r["wall_s"] = round(wall, 1)
-        r["fps"] = round(args.frames / wall, 4)
-        r["n_tracking_fail"] = n_fail
+        if wall:
+            r["wall_s"] = round(wall, 1)
+            r["fps"] = round(args.frames / wall, 4)
+            r["n_tracking_fail"] = n_fail
         report[m] = r
         print(m, json.dumps(r), flush=True)
+
+    if args.global_refine and matchers:
+        out_folder = os.path.join(args.workdir, f"out_{matchers[0]}")
+        wall = run_global_refine(video_dir, out_folder,
+                                 refine_steps=args.refine_steps)
+        r = evaluate(video_dir, out_folder, mesh_name="textured_mesh.obj")
+        r = {"matcher": matchers[0],
+             "refine_steps": args.refine_steps or 2000,
+             "mesh_mean_dist_cm": r.get("mesh_mean_dist_cm"),
+             "textured": True, "wall_s": round(wall, 1)}
+        report["global_refine"] = r
+        print("global_refine", json.dumps(r), flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

@@ -243,6 +243,100 @@ def test_pallas_scatter_matches_xla():
 def test_resolve_scatter():
     assert hashgrid.resolve_scatter("xla") == "xla"
     assert hashgrid.resolve_scatter("pallas") == "pallas"
-    # on the CPU test backend, auto must stay portable
-    assert hashgrid.resolve_scatter("auto") == "xla"
-    assert hashgrid.resolve_scatter("auto", dp_devices=8) == "xla"
+    # auto -> seg everywhere (portable XLA path with a cond fallback)
+    assert hashgrid.resolve_scatter("auto") == "seg"
+    assert hashgrid.resolve_scatter("auto", dp_devices=8) == "seg"
+    # pallas cannot be GSPMD-partitioned: forced back with a warning
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert hashgrid.resolve_scatter("pallas", dp_devices=8) == "xla"
+        assert any("GSPMD" in str(x.message) for x in w)
+
+
+class TestSegScatter:
+    """Segment-dedup backward (scatter='seg'): same gradient as the 'xla'
+    per-sample path up to f32 summation reorder; bitwise on the overflow
+    cond fallback."""
+
+    def _grad(self, spec, x, table, g, n_rays):
+        import jax
+        from bundlesdf_tpu.ops import hashgrid as hg
+
+        def f(xx, t):
+            return hg.encode(xx, t, spec, n_rays=n_rays)
+
+        _, pull = jax.vjp(f, x, table)
+        return pull(g)
+
+    def test_seg_matches_xla_gradient(self):
+        import jax
+        import jax.numpy as jnp
+        from bundlesdf_tpu.ops import hashgrid as hg
+
+        n_rays, S = 64, 48
+        rng = np.random.default_rng(0)
+        o = rng.uniform(-0.2, 0.2, (n_rays, 3))
+        d = rng.normal(size=(n_rays, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        t = np.sort(rng.uniform(0.1, 0.9, (n_rays, S)), axis=1)
+        x = jnp.asarray((o[:, None] + d[:, None] * t[..., None])
+                        .reshape(-1, 3).astype(np.float32))
+        spec_x = hg.HashGridSpec(3, 2, 8, 32, 14, layout="cell", scatter="xla")
+        spec_s = spec_x._replace(scatter="seg")
+        table = hg.init_table(jax.random.PRNGKey(0), spec_x)
+        g = jnp.asarray(rng.standard_normal((n_rays * S, spec_x.out_dim))
+                        .astype(np.float32))
+        dx0, dt0 = self._grad(spec_x, x, table, g, n_rays)
+        dx1, dt1 = self._grad(spec_s, x, table, g, n_rays)
+        np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
+        np.testing.assert_allclose(np.asarray(dt0), np.asarray(dt1),
+                                   rtol=1e-4, atol=1e-7)
+        # forward identical regardless of scatter mode
+        out_x = hg.encode(x, table, spec_x, n_rays=n_rays)
+        out_s = hg.encode(x, table, spec_s, n_rays=n_rays)
+        np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_s))
+
+    def test_seg_overflow_falls_back_to_direct(self):
+        """Unordered samples exceed the run cap -> the cond picks the
+        direct scatter; gradient must be BITWISE equal to 'xla'."""
+        import jax
+        import jax.numpy as jnp
+        from bundlesdf_tpu.ops import hashgrid as hg
+
+        n_rays, S = 16, 96  # random order => ~96 runs > cap at res 32
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, (n_rays * S, 3))
+                        .astype(np.float32))
+        spec_x = hg.HashGridSpec(2, 2, 16, 32, 14, layout="cell", scatter="xla")
+        spec_s = spec_x._replace(scatter="seg")
+        table = hg.init_table(jax.random.PRNGKey(0), spec_x)
+        g = jnp.asarray(rng.standard_normal((n_rays * S, spec_x.out_dim))
+                        .astype(np.float32))
+        dx0, dt0 = self._grad(spec_x, x, table, g, n_rays)
+        dx1, dt1 = self._grad(spec_s, x, table, g, n_rays)
+        np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
+        np.testing.assert_array_equal(np.asarray(dt0), np.asarray(dt1))
+
+    def test_seg_two_stage_fwd_gather_bitwise(self, monkeypatch):
+        """Force the two-stage run gather on small caches: rows must be
+        BITWISE equal to the direct gather (same cache rows fetched)."""
+        import jax
+        import jax.numpy as jnp
+        from bundlesdf_tpu.ops import hashgrid as hg
+
+        monkeypatch.setattr(hg, "_SEG_GATHER_BYTES", 0)
+        n_rays, S = 32, 48
+        rng = np.random.default_rng(2)
+        o = rng.uniform(-0.2, 0.2, (n_rays, 3))
+        d = rng.normal(size=(n_rays, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        t = np.sort(rng.uniform(0.1, 0.9, (n_rays, S)), axis=1)
+        x = jnp.asarray((o[:, None] + d[:, None] * t[..., None])
+                        .reshape(-1, 3).astype(np.float32))
+        spec_s = hg.HashGridSpec(3, 2, 8, 32, 14, layout="cell", scatter="seg")
+        table = hg.init_table(jax.random.PRNGKey(0), spec_s)
+        out_direct = hg.hash_encode_cell(x, table, spec_s._replace(scatter="xla"))
+        out_seg = hg.encode(x, table, spec_s, n_rays=n_rays)
+        np.testing.assert_array_equal(np.asarray(out_direct), np.asarray(out_seg))

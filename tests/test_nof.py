@@ -409,7 +409,7 @@ def test_ray_pool_hard_cap_subsamples():
     self.cfg = {"ray_pool_max_log2": 15, "ray_pool_reserve_log2": 17}
     self.rays_np = np.arange(40000 * 12, dtype=np.float32).reshape(40000, 12)
     self.c2w_np = np.broadcast_to(np.eye(4, dtype=np.float32), (4, 4, 4)).copy()
-    nof_runner.NofRunner._upload_rays(self)
+    nof_runner.NofRunner._upload_rays_impl(self)
     assert len(self.rays_np) == 32768  # capped at 2^15
     assert self.rays_dev.shape[0] == 32768  # reserve clamped to the cap
     assert int(self.n_rays) == 32768

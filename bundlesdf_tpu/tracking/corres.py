@@ -252,12 +252,20 @@ def find_corres(
 
     corres_b = valid_b = None
     if fresh_idx:
-        # Pad the pair batch to a power-of-2 bucket: the per-frame pair
-        # count is data-dependent, and every distinct batch size would
-        # trigger a fresh XLA compile of the matcher + RANSAC (minutes on
-        # TPU).  Padded slots repeat pair 0 and are discarded below.
+        # Pad the pair batch to ONE fixed size (pair_batch, default 16 =
+        # the BA pair budget): the per-frame pair count is data-dependent
+        # and every distinct batch size triggers a fresh XLA compile of
+        # the matcher + RANSAC — each a ~30-60 s remote compile on the
+        # tunneled TPU, and the round-2 power-of-2 buckets still paid ~5
+        # of them per engine per run.  Oversized batches (rare) fall back
+        # to the next power of two.  Padded slots repeat pair 0 and are
+        # discarded below.
         n_fresh = len(fresh_idx)
-        n_pad = 1 << max(0, (n_fresh - 1).bit_length())
+        fixed = int(fc.get("pair_batch", 16))
+        if n_fresh <= fixed:
+            n_pad = fixed
+        else:
+            n_pad = 1 << max(0, (n_fresh - 1).bit_length())
         for _ in range(n_pad - n_fresh):
             imgsA.append(imgsA[0]); imgsB.append(imgsB[0])
 
@@ -310,9 +318,11 @@ def find_corres(
         gated.append(g)
 
     # Model-frame points for RANSAC (reference runRansacMultiPairGPU host
-    # glue transforms matches by the current poses).  Power-of-2 padding
-    # over ALL pairs (fresh + raw-reused; padded slots are all-invalid).
-    P = 1 << max(0, (len(pairs) - 1).bit_length())
+    # glue transforms matches by the current poses).  Fixed-size padding
+    # over ALL pairs (fresh + raw-reused; padded slots are all-invalid) —
+    # one compiled RANSAC program per run (see pair_batch above).
+    fixed = int(fc.get("pair_batch", 16))
+    P = fixed if len(pairs) <= fixed else 1 << max(0, (len(pairs) - 1).bit_length())
     M = store.max_matches
     ptsA = np.zeros((P, M, 3), np.float32)
     ptsB = np.zeros((P, M, 3), np.float32)

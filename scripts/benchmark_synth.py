@@ -57,6 +57,7 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
                         out_dir=out_folder, use_nof=True, save_artifacts=True)
     t0 = time.perf_counter()
     n_fail = 0
+    failed_frames = []
     for i in range(len(reader.color_files)):
         color = reader.get_color(i)
         depth = reader.get_depth(i)
@@ -69,11 +70,12 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
                             mask=mask, occ_mask=occ)
         if frame is not None and int(getattr(frame, "status", 0)) != 0:
             n_fail += 1
+            failed_frames.append(i)
     mesh = tracker.on_finish()
     wall = time.perf_counter() - t0
     if mesh is not None:
         mesh.export(f"{out_folder}/mesh_online.obj")
-    return wall, n_fail
+    return wall, n_fail, failed_frames
 
 
 def run_global_refine(video_dir, out_folder, refine_steps=None):
@@ -177,16 +179,17 @@ def main():
     for m in matchers:
         out_folder = os.path.join(args.workdir, f"out_{m}")
         if not args.skip_online:
-            wall, n_fail = run_engine(video_dir, out_folder, m,
-                                      loftr_ckpt=args.loftr_ckpt,
-                                      sync_max_delay=args.sync_delay)
+            wall, n_fail, failed = run_engine(video_dir, out_folder, m,
+                                              loftr_ckpt=args.loftr_ckpt,
+                                              sync_max_delay=args.sync_delay)
         else:
-            wall, n_fail = 0.0, -1
+            wall, n_fail, failed = 0.0, -1, []
         r = evaluate(video_dir, out_folder)
         if wall:
             r["wall_s"] = round(wall, 1)
             r["fps"] = round(args.frames / wall, 4)
             r["n_tracking_fail"] = n_fail
+            r["failed_frames"] = failed
         report[m] = r
         print(m, json.dumps(r), flush=True)
 

@@ -191,3 +191,38 @@ def test_run_global_nerf_from_frames():
     # mesh lives in world scale (sphere radius 0.3 -> extent under ~1 m)
     ext = mesh.vertices.max(0) - mesh.vertices.min(0)
     assert np.all(ext < 1.5)
+
+
+def test_loose_sync_batches_nof_rounds():
+    """sync_max_delay D > 0 (reference bundlesdf.py:571-582 + config.yml
+    sync_max_delay): the tracker runs ahead until the keyframe backlog
+    reaches D; each NOF round drains the whole batch.  Fewer rounds than
+    keyframes, feedback still applied, leftovers drained at on_finish."""
+    data = make_cube_sequence(n_frames=8, deg_per_frame=6.0)
+    cfg_nof = small_nof_cfg()
+    cfg_nof["sync_max_delay"] = 3
+    tracker = BundleSdf(
+        cfg_track=small_track_cfg(), cfg_nof=cfg_nof,
+        start_nerf_keyframes=3, use_nof=True,
+    )
+    rounds = []
+    orig = tracker._run_nof_chunk
+
+    def counting():
+        rounds.append(tracker.cnt)
+        return orig()
+
+    tracker._run_nof_chunk = counting
+    for k in range(8):
+        tracker.run(
+            data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+            mask=data["masks"][k],
+        )
+    n_kf = len(tracker.bundler.keyframes)
+    tracker.on_finish()
+    # every frame of this fixture becomes a keyframe; rounds must be
+    # batched ~D apart, not per keyframe
+    assert n_kf >= 6
+    assert 1 <= len(rounds) <= (n_kf // 3) + 1, (rounds, n_kf)
+    assert tracker._kf_sent >= n_kf - 0  # on_finish drained the backlog
+    assert any(kf.nerfed for kf in tracker.bundler.keyframes)

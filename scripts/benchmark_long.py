@@ -29,11 +29,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 def run_long(video_dir, out_folder, matcher, sync_delay):
     import cv2
     import math
-    from bundlesdf_tpu.config import default_nof_config, default_track_config
+    from bundlesdf_tpu.config import default_nof_config, ycbineoat_track_config
     from bundlesdf_tpu.io.readers import YcbineoatReader
     from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
 
-    cfg_track = default_track_config()
+    # YCBInEOAT-layout fixture -> matching reference config (see
+    # benchmark_synth.run_engine for the gate-threshold diagnosis).
+    cfg_track = ycbineoat_track_config()
     cfg_track["feature_corres"]["matcher"] = matcher
     cfg_track["depth_processing"]["zfar"] = 1.0
     cfg_track["debug_dir"] = out_folder

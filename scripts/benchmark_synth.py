@@ -29,11 +29,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=None):
     import cv2
-    from bundlesdf_tpu.config import default_nof_config, default_track_config
+    from bundlesdf_tpu.config import default_nof_config, ycbineoat_track_config
     from bundlesdf_tpu.io.readers import YcbineoatReader
     from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
 
-    cfg_track = default_track_config()
+    # The fixture is YCBInEOAT-layout with handheld-style motion; the
+    # matching reference config (config_ycbineoat.yml) uses
+    # max_trans_neighbor 0.03.  The HO3D config's 0.02 gate sits under the
+    # fixture's legitimate ~2.2 cm per-frame camera step (GT wobble +
+    # rotation of the recentered origin), which FAILed one mid-occlusion
+    # frame per run in round 2 (diagnosed round 3: the BA pose was ~0.5 cm
+    # off GT; forget-and-relocalize recovered it by design).
+    cfg_track = ycbineoat_track_config()
     cfg_track["feature_corres"]["matcher"] = matcher
     if loftr_ckpt:
         cfg_track["feature_corres"]["loftr_ckpt"] = loftr_ckpt

@@ -602,6 +602,39 @@ def _seg_cap(res: int, n_samples: int) -> int:
     return min(n_samples, cap)
 
 
+def _seg_compact(key2d, d_rows2d, cap: int):
+    """Run-compaction core shared by the dense and hashed seg scatters.
+
+    key2d: (n_rays, S) int — any per-sample key constant within an
+    equal-cell run (dense: the cell id; hashed: a collision-free packed
+    grid-coordinate key).  d_rows2d: (n_rays, S, F) updates.
+    Returns (rows (n_rays*cap, F) run sums, flat_pos (n_rays*cap,) flat
+    sample index of each run's LAST sample, slot_valid (n_rays*cap,),
+    fits: scalar bool — every ray's run count <= cap)."""
+    n_rays, S = key2d.shape
+    F = d_rows2d.shape[-1]
+    b = jnp.ones((n_rays, S), bool).at[:, 1:].set(
+        key2d[:, 1:] != key2d[:, :-1])
+    n_runs = jnp.sum(b, axis=1)
+    seg_id = jnp.cumsum(b, axis=1) - 1  # (n_rays, S)
+
+    def comb(a, x):
+        av, af = a
+        xv, xf = x
+        return jnp.where(xf[..., None], xv, av + xv), af | xf
+
+    vals, _ = jax.lax.associative_scan(comb, (d_rows2d, b), axis=1)
+    ks = jnp.arange(cap)
+    # index of the last sample of run k = (#samples in runs <= k) - 1
+    cnt = jnp.sum((seg_id[:, None, :] <= ks[None, :, None]), axis=2)
+    end_pos = jnp.clip(cnt - 1, 0, S - 1)  # (n_rays, cap)
+    slot_valid = (ks[None, :] < n_runs[:, None]).reshape(-1)
+    flat_pos = (jnp.arange(n_rays)[:, None] * S + end_pos).reshape(-1)
+    rows = vals.reshape(n_rays * S, F)[flat_pos]
+    rows = jnp.where(slot_valid[:, None], rows, 0.0)
+    return rows, flat_pos, slot_valid, jnp.max(n_runs) <= cap
+
+
 def _seg_cell_scatter(cell2d, d_rows2d, n_dest_rows: int, cap: int):
     """Segment-dedup scatter-add: samples along a ray are z-ordered, so
     consecutive samples repeat the same cell (~4-24x on the online
@@ -620,42 +653,25 @@ def _seg_cell_scatter(cell2d, d_rows2d, n_dest_rows: int, cap: int):
     """
     n_rays, S = cell2d.shape
     F = d_rows2d.shape[-1]
-    b = jnp.ones((n_rays, S), bool).at[:, 1:].set(
-        cell2d[:, 1:] != cell2d[:, :-1])
-    n_runs = jnp.sum(b, axis=1)
 
     def seg_path(args):
-        cell2d, d_rows2d, b = args
-        seg_id = jnp.cumsum(b, axis=1) - 1  # (n_rays, S)
-
-        def comb(a, x):
-            av, af = a
-            xv, xf = x
-            return jnp.where(xf[..., None], xv, av + xv), af | xf
-
-        vals, _ = jax.lax.associative_scan(comb, (d_rows2d, b), axis=1)
-        ks = jnp.arange(cap)
-        # index of the last sample of run k = (#samples in runs <= k) - 1
-        cnt = jnp.sum((seg_id[:, None, :] <= ks[None, :, None]), axis=2)
-        end_pos = jnp.clip(cnt - 1, 0, S - 1)  # (n_rays, cap)
-        slot_valid = ks[None, :] < n_runs[:, None]
-        flat_pos = (jnp.arange(n_rays)[:, None] * S + end_pos).reshape(-1)
-        rows = vals.reshape(n_rays * S, F)[flat_pos]
-        cells = cell2d.reshape(-1)[flat_pos]
-        rows = jnp.where(slot_valid.reshape(-1)[:, None], rows, 0.0)
-        cells = jnp.where(slot_valid.reshape(-1), cells, 0)
+        cell2d, d_rows2d = args
+        rows, flat_pos, slot_valid, _ = _seg_compact(cell2d, d_rows2d, cap)
+        cells = jnp.where(slot_valid, cell2d.reshape(-1)[flat_pos], 0)
         return _cell_cache_scatter(cells.astype(jnp.int32), rows, n_dest_rows)
 
     def direct_path(args):
-        cell2d, d_rows2d, _ = args
+        cell2d, d_rows2d = args
         return _cell_cache_scatter(
             cell2d.reshape(-1).astype(jnp.int32),
             d_rows2d.reshape(-1, F), n_dest_rows)
 
     if cap >= S:  # dedup cannot overflow; also covers tiny-S test shapes
-        return seg_path((cell2d, d_rows2d, b))
-    return jax.lax.cond(
-        jnp.max(n_runs) <= cap, seg_path, direct_path, (cell2d, d_rows2d, b))
+        return seg_path((cell2d, d_rows2d))
+    b = jnp.ones((n_rays, S), bool).at[:, 1:].set(
+        cell2d[:, 1:] != cell2d[:, :-1])
+    fits = jnp.max(jnp.sum(b, axis=1)) <= cap
+    return jax.lax.cond(fits, seg_path, direct_path, (cell2d, d_rows2d))
 
 
 def _hash_encode_cell_bwd(spec, res, g):
@@ -713,23 +729,60 @@ def _cell_bwd_impl(spec, n_rays, res, g):
                 d_cache = _cell_cache_scatter(cell, d_rows, R * R * R)
                 d_levels[li] = _reduce_cell_cache_grad(d_cache, p, C)
         else:
-            # flat element scatter (window-C scatter_add measured 400x
-            # slower — a pathological XLA emitter; element streams are the
-            # fast form for 1-D destinations, scripts/bisect_offline.py)
-            flat_idx = []
-            contrib = []
-            for ci, c in enumerate(_CORNERS):
-                idx = _corner_index_axes(
-                    pgs[0] + int(c[0]), pgs[1] + int(c[1]), pgs[2] + int(c[2]),
-                    p["res"], p["size"], p["dense"])
-                base = idx.astype(jnp.int32) * C
-                for ch in range(C):
-                    flat_idx.append(base + ch)
-                    contrib.append(d_cols[ci * C + ch])
-            d_levels[li] = (
-                jnp.zeros((p["size"] * C,), d_cols[0].dtype).at[
+            # hashed level: flat element scatter (window-C scatter_add
+            # measured 400x slower — a pathological XLA emitter; element
+            # streams are the fast form for 1-D destinations,
+            # scripts/bisect_offline.py).  With ray structure + 'seg',
+            # runs of equal GRID CELL (the hashed corner indices are a
+            # pure function of pos_grid) pre-sum exactly like the dense
+            # path, shrinking the element streams by the dedup ratio.
+            def _element_scatter(gx, gy, gz, cols):
+                flat_idx = []
+                contrib = []
+                for ci, c in enumerate(_CORNERS):
+                    idx = _corner_index_axes(
+                        gx + int(c[0]), gy + int(c[1]), gz + int(c[2]),
+                        p["res"], p["size"], p["dense"])
+                    base = idx.astype(jnp.int32) * C
+                    for ch in range(C):
+                        flat_idx.append(base + ch)
+                        contrib.append(cols[ci * C + ch])
+                return jnp.zeros((p["size"] * C,), cols[0].dtype).at[
                     jnp.concatenate(flat_idx)
-                ].add(jnp.concatenate(contrib), mode="promise_in_bounds"))
+                ].add(jnp.concatenate(contrib), mode="promise_in_bounds")
+
+            S = x.shape[0] // n_rays if n_rays > 0 else 0
+            cap = _seg_cap(p["res"], S) if S else 0
+            if spec.scatter == "seg" and n_rays > 0:
+                # collision-free packed grid key (res <= 1289 fits int32)
+                K = p["res"] + 2
+                key2d = ((pgs[0] * K + pgs[1]) * K + pgs[2]).reshape(
+                    n_rays, S)
+                d2 = jnp.stack(d_cols, axis=-1).reshape(n_rays, S, 8 * C)
+
+                def seg_path(args):
+                    key2d, d2 = args
+                    rows, flat_pos, slot_valid, _ = _seg_compact(
+                        key2d, d2, cap)
+                    gx = jnp.where(slot_valid, pgs[0][flat_pos], 0)
+                    gy = jnp.where(slot_valid, pgs[1][flat_pos], 0)
+                    gz = jnp.where(slot_valid, pgs[2][flat_pos], 0)
+                    cols = [rows[:, k] for k in range(8 * C)]
+                    return _element_scatter(gx, gy, gz, cols)
+
+                def direct_path(args):
+                    return _element_scatter(pgs[0], pgs[1], pgs[2], d_cols)
+
+                if cap >= S:
+                    d_levels[li] = seg_path((key2d, d2))
+                else:
+                    bmask = jnp.ones((n_rays, S), bool).at[:, 1:].set(
+                        key2d[:, 1:] != key2d[:, :-1])
+                    fits = jnp.max(jnp.sum(bmask, axis=1)) <= cap
+                    d_levels[li] = jax.lax.cond(
+                        fits, seg_path, direct_path, (key2d, d2))
+            else:
+                d_levels[li] = _element_scatter(pgs[0], pgs[1], pgs[2], d_cols)
     if fuse:
         from . import hashgrid_pallas
 

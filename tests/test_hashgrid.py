@@ -340,3 +340,31 @@ class TestSegScatter:
         out_direct = hg.hash_encode_cell(x, table, spec_s._replace(scatter="xla"))
         out_seg = hg.encode(x, table, spec_s, n_rays=n_rays)
         np.testing.assert_array_equal(np.asarray(out_direct), np.asarray(out_seg))
+
+    def test_seg_hashed_levels_match_xla(self):
+        """Hashed (non-dense) levels also segment-dedup under 'seg':
+        gradient matches the element-stream path up to f32 reorder."""
+        import jax
+        import jax.numpy as jnp
+        from bundlesdf_tpu.ops import hashgrid as hg
+
+        n_rays, S = 48, 64
+        rng = np.random.default_rng(3)
+        o = rng.uniform(-0.2, 0.2, (n_rays, 3))
+        d = rng.normal(size=(n_rays, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        t = np.sort(rng.uniform(0.1, 0.9, (n_rays, S)), axis=1)
+        x = jnp.asarray((o[:, None] + d[:, None] * t[..., None])
+                        .reshape(-1, 3).astype(np.float32))
+        # log2_hashmap 10 makes the upper levels HASHED (dense 48^3 > 1024)
+        spec_x = hg.HashGridSpec(3, 2, 16, 48, 10, layout="cell", scatter="xla")
+        spec_s = spec_x._replace(scatter="seg")
+        assert not all(p["dense"] for p in spec_x.level_params())
+        table = hg.init_table(jax.random.PRNGKey(0), spec_x)
+        g = jnp.asarray(rng.standard_normal((n_rays * S, spec_x.out_dim))
+                        .astype(np.float32))
+        dx0, dt0 = self._grad(spec_x, x, table, g, n_rays)
+        dx1, dt1 = self._grad(spec_s, x, table, g, n_rays)
+        np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
+        np.testing.assert_allclose(np.asarray(dt0), np.asarray(dt1),
+                                   rtol=1e-4, atol=1e-7)

@@ -263,6 +263,17 @@ def default_nof_config() -> Cfg:
             "dbscan_eps": 0.06,
             "dbscan_eps_min_samples": 1,
             "sync_max_delay": 0,
+            # n_step_extend: step budget of CONTINUAL extension rounds
+            # (0 = use n_step).  The reference retrains from scratch every
+            # round (add_new_frames(reuse_weights=False) -> create_nerf,
+            # nerf_runner.py:350-380), so it needs the full n_step each
+            # time; a continual runner keeping its weights can refine with
+            # fewer steps per round (quality gated by EVAL_synth.json).
+            "n_step_extend": 0,
+            # nof_steps_per_frame: async round pacing — how many steps of
+            # the in-flight round are dispatched per tracked frame
+            # (0 = one loop_chunk).  Device work overlaps host tracking.
+            "nof_steps_per_frame": 0,
             "sc_factor": 1.0,
             "translation": [0.0, 0.0, 0.0],
             "multires_views": 3,

@@ -671,6 +671,55 @@ class NofRunner:
         return jax.tree_util.tree_map(lambda x: float(x), metrics)
 
     # ------------------------------------------------------------------
+    def train_advance(self, n_steps: int) -> None:
+        """Dispatch ``n_steps`` of training WITHOUT reading results back.
+
+        JAX async dispatch: the scanned loop chunks are enqueued on the
+        device queue and this returns as soon as dispatch completes, so the
+        caller can overlap host-side tracking work with the device training
+        — the single-runtime re-expression of the reference's concurrent
+        NeRF worker process (bundlesdf.py:64-260, sync gate :571-582).
+        Call :meth:`train_drain` (or anything that reads ``params``) to
+        synchronize.
+        """
+        with span("nof/train_advance"):
+            done = 0
+            while done < n_steps:
+                n = min(self.loop_chunk, n_steps - done)
+                self.params, self.opt_state, self._metrics_async = (
+                    self._train_many(
+                        self.params, self.opt_state, self.global_step,
+                        self.key, self.rays_dev, self.n_rays, self.occ_grid,
+                        self.c2w_dev, n,
+                    )
+                )
+                self.global_step += n
+                done += n
+
+    def train_drain(self) -> dict:
+        """Block until all dispatched training work is done; return the last
+        step's metrics (empty dict if nothing was in flight)."""
+        m = getattr(self, "_metrics_async", None)
+        if m is None:
+            return {}
+        with span("nof/train_drain"):
+            out = jax.tree_util.tree_map(lambda x: float(x), m)
+        self._metrics_async = None
+        # checkpoint cadence (reference i_weights): checked at round
+        # granularity on the async path
+        i_weights = int(self.cfg.get("i_weights", 999999))
+        if self.global_step // i_weights > getattr(self, "_ckpt_done", 0):
+            self._ckpt_done = self.global_step // i_weights
+            import os
+
+            os.makedirs(self.cfg["save_dir"], exist_ok=True)
+            self.save_weights(
+                f"{self.cfg['save_dir']}/model_latest.pth",
+                full=bool(self.cfg.get("ckpt_full", False)),
+            )
+        return out
+
+    # ------------------------------------------------------------------
     def train_ba(self, matches_table, n_steps: int = 200,
                  inlier_thresh: float = 0.02, lr: float | None = None):
         """NeRF-side bundle adjustment over feature matches (reference

@@ -68,6 +68,7 @@ class BundleSdf:
         self.K = None
         self.nof: NofRunner | None = None
         self._kf_sent = 0          # how many keyframes have been handed to NOF
+        self._nof_steps_left = 0   # steps remaining in the in-flight NOF round
         self._nof_poses_pending = None
         self.mesh = None
         self.translation = None
@@ -99,24 +100,35 @@ class BundleSdf:
         with span("track/process_new_frame"):
             self.process_new_frame(frame)
 
-        if self.use_nof and self.bundler.keyframes and self.bundler.keyframes[-1] is frame:
+        if self.use_nof:
             # NOF scheduling under the reference sync contract
-            # (bundlesdf.py:571-582 + config.yml sync_max_delay): the
-            # tracker runs ahead until the keyframe backlog reaches
-            # sync_max_delay, then a NOF round drains the whole batch.
-            # 0 = strict lockstep (one round per keyframe), D>0 = loose
-            # sync with rounds over D-keyframe batches — the serialized
-            # equivalent of the reference's concurrent worker whose train
-            # round spans the arrival of ~D keyframes.
+            # (bundlesdf.py:571-582 + config.yml sync_max_delay), re-expressed
+            # for one runtime with JAX async dispatch: a training ROUND is
+            # dispatched to the device in loop-chunks and the host keeps
+            # tracking while the device trains (the reference's concurrent
+            # NeRF worker).  At a new keyframe with backlog >= max(1, delay)
+            # the tracker blocks until the in-flight round drains (the
+            # reference wait loop), applies the pose feedback, and the next
+            # round starts over the whole accumulated keyframe batch.
             n_kf = len(self.bundler.keyframes)
+            new_kf = bool(self.bundler.keyframes) and \
+                self.bundler.keyframes[-1] is frame
             delay = int(self.cfg_nof.get("sync_max_delay", 0))
             backlog = n_kf - self._kf_sent
-            if ((self.nof is not None) or (n_kf >= self.start_nerf_keyframes)) \
-                    and backlog >= max(1, delay):
-                with span("nof/chunk"):
-                    self._run_nof_chunk()
-                with span("nof/feedback"):
-                    self._apply_nof_feedback()
+            if self._nof_steps_left > 0 and new_kf and \
+                    backlog >= max(1, delay):
+                with span("nof/sync_wait"):
+                    self._nof_round_advance(self._nof_steps_left)
+            if self._nof_steps_left == 0 and backlog >= 1 and (
+                    (self.nof is not None)
+                    or (n_kf >= self.start_nerf_keyframes)):
+                with span("nof/round_start"):
+                    self._nof_round_start()
+            if self._nof_steps_left > 0:
+                per_frame = int(self.cfg_nof.get("nof_steps_per_frame", 0)) \
+                    or (self.nof.loop_chunk if self.nof else 0)
+                with span("nof/advance"):
+                    self._nof_round_advance(per_frame)
 
         self.poses_log[id_str] = np.linalg.inv(frame.pose_in_model)  # ob_in_cam
         if self.gui is not None:
@@ -237,14 +249,30 @@ class BundleSdf:
 
     # ------------------------------------------------------------------
     def _run_nof_chunk(self):
-        """Hand pending keyframes to the NOF runner and train one chunk
-        (the reference run_nerf iteration, bundlesdf.py:64-260)."""
+        """Hand pending keyframes to the NOF runner and train one full round
+        synchronously (the reference run_nerf iteration, bundlesdf.py:64-260).
+        Composite of round_start + drain + complete, used by on_finish and
+        offline flows; the online path advances rounds incrementally."""
+        self._nof_round_start()
+        if self._nof_steps_left > 0:
+            self._nof_round_advance(self._nof_steps_left)
+
+    def _nof_round_start(self):
+        """Prepare the next NOF round: snapshot pending keyframes into the
+        runner (or create it), set the round's step budget.  Training itself
+        is dispatched by _nof_round_advance."""
         kfs = self.bundler.keyframes
         new_kfs = kfs[self._kf_sent:]
+        n_step = int(self.cfg_nof["n_step"])
+        # Extension rounds keep the continually-trained weights, so they
+        # need fewer steps than the reference's from-scratch retrain
+        # (nerf_runner.py:350-380 add_new_frames(reuse_weights=False) +
+        # create_nerf) — n_step_extend 0 keeps strict n_step parity.
+        n_extend = int(self.cfg_nof.get("n_step_extend", 0)) or n_step
         if not new_kfs and self.nof is not None:
             # No new keyframes — keep refining with the updated poses.
             self._sync_poses_into_nof()
-            self.nof.train(int(self.cfg_nof["n_step"]))
+            self._nof_steps_left = n_extend
             return
         if not new_kfs:
             return
@@ -262,6 +290,7 @@ class BundleSdf:
             )
             self._kf_sent = len(kfs)
             return
+        first = self.nof is None
         if self.nof is None:
             with span("nof/scene_bounds"):
                 sc, tr, pcd_real, pcd_norm = sb.compute_scene_bounds(
@@ -308,8 +337,24 @@ class BundleSdf:
                 self.nof.add_new_frames(pr, pd, pm, poses_n, pcd_norm)
 
         self._kf_sent = len(kfs)
-        self.nof.train(int(self.cfg_nof["n_step"]))
+        self._nof_steps_left = n_step if first else n_extend
 
+    def _nof_round_advance(self, budget: int):
+        """Dispatch up to ``budget`` training steps of the in-flight round
+        (async — no device readback); complete the round when its budget is
+        exhausted."""
+        n = min(int(budget), self._nof_steps_left)
+        if n > 0:
+            self.nof.train_advance(n)
+            self._nof_steps_left -= n
+        if self._nof_steps_left == 0:
+            self._nof_round_complete()
+
+    def _nof_round_complete(self):
+        """Drain the round, export optimized poses, apply feedback — the
+        reference's end-of-round p_dict writes (bundlesdf.py:244-255) +
+        tracker-side pose sync (:584-617)."""
+        self.nof.train_drain()
         with span("nof/pose_export"):
             poses_out, offset = self.nof.get_optimized_poses_in_real_world()
         self._nof_poses_pending = poses_out
@@ -323,6 +368,8 @@ class BundleSdf:
             )
         else:
             self._mesh_offset = offset
+        with span("nof/feedback"):
+            self._apply_nof_feedback()
 
     def _preprocess(self, rgbs, depths, masks, glcam_in_obs):
         """preprocess_data parity (nerf_helpers.py:218-240): normalize rgb,
@@ -388,9 +435,12 @@ class BundleSdf:
         """Final NOF pass over any remaining keyframes (reference
         on_finish bundlesdf.py:324-338 waits for the worker to drain)."""
         if self.use_nof and self.bundler.keyframes:
+            if self._nof_steps_left > 0:
+                # drain the in-flight round
+                with span("nof/sync_wait"):
+                    self._nof_round_advance(self._nof_steps_left)
             if self.nof is None or self._kf_sent < len(self.bundler.keyframes):
                 self._run_nof_chunk()
-                self._apply_nof_feedback()
         if self.mesh is None and self.nof is not None:
             # headless runs skip per-chunk extraction; produce the final mesh
             with span("nof/extract_mesh_final"):

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def run_long(video_dir, out_folder, matcher, sync_delay):
+def run_long(video_dir, out_folder, matcher, sync_delay, n_step_extend=None):
     import cv2
     import math
     from bundlesdf_tpu.config import default_nof_config, ycbineoat_track_config
@@ -42,6 +42,8 @@ def run_long(video_dir, out_folder, matcher, sync_delay):
     cfg_nof = default_nof_config()
     cfg_nof["save_dir"] = out_folder
     cfg_nof["sync_max_delay"] = int(sync_delay)
+    if n_step_extend is not None:
+        cfg_nof["n_step_extend"] = int(n_step_extend)
     n_video = len(os.listdir(os.path.join(video_dir, "rgb")))
     cfg_nof["ray_pool_reserve_log2"] = min(
         23, max(20, math.ceil(math.log2(max(1, n_video) * 120_000))))
@@ -115,6 +117,8 @@ def main():
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--deg", type=float, default=2.5)
     ap.add_argument("--sync_delay", type=int, default=3)
+    ap.add_argument("--extend", type=int, default=None,
+                    help="override cfg_nof n_step_extend")
     ap.add_argument("--workdir", default="/tmp/synth_long")
     ap.add_argument("--skip_gen", action="store_true")
     args = ap.parse_args()
@@ -127,7 +131,8 @@ def main():
         print("fixture:", video_dir, flush=True)
 
     out_folder = os.path.join(args.workdir, f"out_{args.matcher}")
-    stats = run_long(video_dir, out_folder, args.matcher, args.sync_delay)
+    stats = run_long(video_dir, out_folder, args.matcher, args.sync_delay,
+                     n_step_extend=args.extend)
     report = {
         "fixture": {
             "frames": args.frames,
@@ -135,6 +140,7 @@ def main():
             "total_rotation_deg": args.deg * (args.frames - 1),
             "occluder": True,
             "sync_max_delay": args.sync_delay,
+            "n_step_extend": args.extend,
         },
         args.matcher: {**evaluate(video_dir, out_folder), **stats},
     }

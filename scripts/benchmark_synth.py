@@ -27,11 +27,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=None):
+def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=None,
+               n_step_extend=None):
     import cv2
     from bundlesdf_tpu.config import default_nof_config, ycbineoat_track_config
     from bundlesdf_tpu.io.readers import YcbineoatReader
     from bundlesdf_tpu.pipeline.bundlesdf import BundleSdf
+    from bundlesdf_tpu.utils import profiler
+
+    profiler.reset()
 
     # The fixture is YCBInEOAT-layout with handheld-style motion; the
     # matching reference config (config_ycbineoat.yml) uses
@@ -50,6 +54,8 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
     cfg_nof["save_dir"] = out_folder
     if sync_max_delay is not None:
         cfg_nof["sync_max_delay"] = int(sync_max_delay)
+    if n_step_extend is not None:
+        cfg_nof["n_step_extend"] = int(n_step_extend)
     import math
 
     n_video = len(os.listdir(os.path.join(video_dir, "rgb")))
@@ -82,7 +88,14 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
     wall = time.perf_counter() - t0
     if mesh is not None:
         mesh.export(f"{out_folder}/mesh_online.obj")
-    return wall, n_fail, failed_frames
+    # per-stage profile (VERDICT r2 #1: span report in the artifact)
+    prof = {
+        k: {"count": v["count"], "total_s": round(v["total_s"], 2)}
+        for k, v in sorted(profiler.stats().items(),
+                           key=lambda kv: -kv[1]["total_s"])
+        if v["total_s"] >= 0.5
+    }
+    return wall, n_fail, failed_frames, prof
 
 
 def run_global_refine(video_dir, out_folder, refine_steps=None):
@@ -157,6 +170,9 @@ def main():
                     help=".npz weights for the loftr engine")
     ap.add_argument("--sync_delay", type=int, default=None,
                     help="override cfg_nof sync_max_delay")
+    ap.add_argument("--extend", type=int, default=None,
+                    help="override cfg_nof n_step_extend (steps per "
+                         "continual NOF extension round)")
     ap.add_argument("--global_refine", action="store_true",
                     help="after the FIRST matcher's online run, run the "
                          "offline global refine at the reference budget "
@@ -182,13 +198,16 @@ def main():
     }
     if args.sync_delay is not None:
         report["fixture"]["sync_max_delay"] = args.sync_delay
+    if args.extend is not None:
+        report["fixture"]["n_step_extend"] = args.extend
     matchers = [m.strip() for m in args.matchers.split(",") if m.strip()]
     for m in matchers:
         out_folder = os.path.join(args.workdir, f"out_{m}")
+        prof = None
         if not args.skip_online:
-            wall, n_fail, failed = run_engine(video_dir, out_folder, m,
-                                              loftr_ckpt=args.loftr_ckpt,
-                                              sync_max_delay=args.sync_delay)
+            wall, n_fail, failed, prof = run_engine(
+                video_dir, out_folder, m, loftr_ckpt=args.loftr_ckpt,
+                sync_max_delay=args.sync_delay, n_step_extend=args.extend)
         else:
             wall, n_fail, failed = 0.0, -1, []
         r = evaluate(video_dir, out_folder)
@@ -197,6 +216,8 @@ def main():
             r["fps"] = round(args.frames / wall, 4)
             r["n_tracking_fail"] = n_fail
             r["failed_frames"] = failed
+        if prof:
+            r["profile"] = prof
         report[m] = r
         print(m, json.dumps(r), flush=True)
 

@@ -34,51 +34,56 @@ def make_reduce(R: int, C: int):
     out_row = S * S * C
     out_row_pad = -(-out_row // 128) * 128
 
+    in_sub = R * R * F // 128
+    out_sub = out_row_pad // 128
+
     def kernel(in_prev_ref, in_cur_ref, out_ref):
         x = pl.program_id(0)
         # slabs: (R, R, F) cell grids for x-planes x-1 and x (clamped)
-        acc = jnp.zeros((S, S, C), jnp.float32)
+        acc = [jnp.zeros((S, S), jnp.float32) for _ in range(C)]
         for ci, c in enumerate(_CORNERS):
             src_ref = in_cur_ref if c[0] == 0 else in_prev_ref
             valid_x = jnp.where(
                 jnp.asarray(c[0] == 1), x >= 1, x <= R - 1)
             for ch in range(C):
                 plane = src_ref[0].reshape(R, R, F)[:, :, ci * C + ch]
-                shifted = jnp.zeros((S, S), jnp.float32)
-                shifted = jax.lax.dynamic_update_slice(
-                    shifted, plane, (int(c[1]), int(c[2])))
+                # static shift by the corner offset: pad to (S, S)
+                shifted = jnp.pad(
+                    plane, ((int(c[1]), 1 - int(c[1])),
+                            (int(c[2]), 1 - int(c[2]))))
                 shifted = jnp.where(valid_x, shifted, 0.0)
-                acc = acc.at[:, :, ch].add(shifted)
-        flat = acc.reshape(-1)
+                acc[ch] = acc[ch] + shifted
+        flat = jnp.stack(acc, axis=-1).reshape(-1)
         flat = jnp.pad(flat, (0, out_row_pad - out_row))
-        out_ref[0, :] = flat
+        out_ref[0] = flat.reshape(out_sub, 128)
 
     @jax.jit
     def reduce_pallas(d_cache):
-        # d_cache (R^3, F) -> view as (R, R^2 * F) x-slabs
-        xin = d_cache.reshape(R, R * R * F)
+        # d_cache (R^3, F) -> (R, R^2*F/128, 128) x-slabs (Mosaic block
+        # constraint: last two block dims divisible by (8, 128))
+        xin = d_cache.reshape(R, in_sub, 128)
 
         def idx_prev(i):
-            return (jnp.maximum(i - 1, 0), 0)
+            return (jnp.maximum(i - 1, 0), 0, 0)
 
         def idx_cur(i):
-            return (jnp.minimum(i, R - 1), 0)
+            return (jnp.minimum(i, R - 1), 0, 0)
 
         out = pl.pallas_call(
             kernel,
             grid=(S,),
             in_specs=[
-                pl.BlockSpec((1, R * R * F), idx_prev,
+                pl.BlockSpec((1, in_sub, 128), idx_prev,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, R * R * F), idx_cur,
+                pl.BlockSpec((1, in_sub, 128), idx_cur,
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, out_row_pad), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((1, out_sub, 128), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((S, out_row_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((S, out_sub, 128), jnp.float32),
             interpret=jax.default_backend() == "cpu",
         )(xin, xin)
-        return out[:, :out_row].reshape(-1)
+        return out.reshape(S, out_row_pad)[:, :out_row].reshape(-1)
 
     return reduce_pallas
 

@@ -195,24 +195,27 @@ def test_run_global_nerf_from_frames():
 
 def test_loose_sync_batches_nof_rounds():
     """sync_max_delay D > 0 (reference bundlesdf.py:571-582 + config.yml
-    sync_max_delay): the tracker runs ahead until the keyframe backlog
-    reaches D; each NOF round drains the whole batch.  Fewer rounds than
-    keyframes, feedback still applied, leftovers drained at on_finish."""
+    sync_max_delay): a NOF round is dispatched asynchronously (cooperative
+    chunks per tracked frame) and the tracker only blocks at a new keyframe
+    once the backlog reaches D.  Rounds span multiple keyframes, so there
+    are fewer round starts than keyframes; feedback still applied,
+    leftovers drained at on_finish."""
     data = make_cube_sequence(n_frames=8, deg_per_frame=6.0)
     cfg_nof = small_nof_cfg()
     cfg_nof["sync_max_delay"] = 3
+    cfg_nof["loop_chunk"] = 5          # round = 30 steps = 6 chunk advances
     tracker = BundleSdf(
         cfg_track=small_track_cfg(), cfg_nof=cfg_nof,
         start_nerf_keyframes=3, use_nof=True,
     )
     rounds = []
-    orig = tracker._run_nof_chunk
+    orig = tracker._nof_round_start
 
     def counting():
         rounds.append(tracker.cnt)
         return orig()
 
-    tracker._run_nof_chunk = counting
+    tracker._nof_round_start = counting
     for k in range(8):
         tracker.run(
             data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
@@ -220,9 +223,58 @@ def test_loose_sync_batches_nof_rounds():
         )
     n_kf = len(tracker.bundler.keyframes)
     tracker.on_finish()
-    # every frame of this fixture becomes a keyframe; rounds must be
-    # batched ~D apart, not per keyframe
+    # every frame of this fixture becomes a keyframe; a 6-chunk round spans
+    # several keyframes without blocking (backlog < 3), so round starts
+    # must be strictly fewer than keyframes
     assert n_kf >= 6
-    assert 1 <= len(rounds) <= (n_kf // 3) + 1, (rounds, n_kf)
-    assert tracker._kf_sent >= n_kf - 0  # on_finish drained the backlog
+    assert 1 <= len(rounds) < n_kf, (rounds, n_kf)
+    assert tracker._nof_steps_left == 0      # on_finish drained the round
+    assert tracker._kf_sent >= n_kf - 0      # and the keyframe backlog
     assert any(kf.nerfed for kf in tracker.bundler.keyframes)
+
+
+def test_extension_rounds_use_n_step_extend():
+    """Continual extension rounds run n_step_extend steps (the runner keeps
+    its weights, unlike the reference's from-scratch retrain each round,
+    nerf_runner.py:350-380); the first round still runs the full n_step."""
+    data = make_cube_sequence(n_frames=7, deg_per_frame=6.0)
+    cfg_nof = small_nof_cfg()
+    cfg_nof["n_step"] = 20
+    cfg_nof["n_step_extend"] = 5
+    cfg_nof["loop_chunk"] = 5
+    cfg_nof["sync_max_delay"] = 0      # strict: drain at every new keyframe
+    tracker = BundleSdf(
+        cfg_track=small_track_cfg(), cfg_nof=cfg_nof,
+        start_nerf_keyframes=3, use_nof=True,
+    )
+    starts = []
+    trained = []
+    orig = tracker._nof_round_start
+
+    def counting():
+        orig()
+        starts.append(tracker._nof_steps_left)
+        if not getattr(tracker.nof, "_adv_hooked", False):
+            tracker.nof._adv_hooked = True
+            orig_adv = tracker.nof.train_advance
+
+            def adv(n, _o=orig_adv):
+                trained.append(n)
+                return _o(n)
+
+            tracker.nof.train_advance = adv
+
+    tracker._nof_round_start = counting
+    for k in range(7):
+        tracker.run(
+            data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+            mask=data["masks"][k],
+        )
+    tracker.on_finish()
+    assert starts[0] == 20, starts             # first round: full n_step
+    assert all(s == 5 for s in starts[1:]), starts  # extensions: n_step_extend
+    assert len(starts) >= 3
+    # total dispatched steps = what the rounds budgeted (note: the runner's
+    # global_step restarts each extension round — add_new_frames resets the
+    # lr schedule like the reference's per-round optimizer recreation)
+    assert sum(trained) == sum(starts), (trained, starts)

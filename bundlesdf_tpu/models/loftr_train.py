@@ -135,10 +135,21 @@ def make_batch(key, batch: int, H: int, W: int, max_gt: int) -> HomographyBatch:
     Hc, Wc = H // 8, W // 8
 
     def one(k):
-        k1, k2 = jax.random.split(k)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
         img0 = mixed_texture(k1, H, W)
         Hm = random_homography(k2, H, W)
         img1 = warp_image(img0, Hm)
+        # photometric jitter on the warped view (brightness/contrast/noise)
+        # so the matcher cannot rely on raw intensity equality — the
+        # reference's supervision pairs come from different real exposures
+        kb, kc, kn = jax.random.split(k3, 3)
+        gain = jax.random.uniform(kb, (), minval=0.7, maxval=1.3)
+        bias = jax.random.uniform(kc, (), minval=-0.15, maxval=0.15)
+        img1 = jnp.clip(img1 * gain + bias, 0.0, 1.0)
+        img1 = jnp.clip(
+            img1 + 0.02 * jax.random.normal(kn, img1.shape), 0.0, 1.0)
+        img0 = jnp.clip(
+            img0 + 0.02 * jax.random.normal(k4, img0.shape), 0.0, 1.0)
         # GT: coarse cell centers of img0 -> img1
         ys, xs = jnp.meshgrid(jnp.arange(Hc), jnp.arange(Wc), indexing="ij")
         cx = xs.reshape(-1) * 8 + 4.0
@@ -277,13 +288,16 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=160,
+                    help="train pair resolution (engine crops run at "
+                         "feature_corres.resize; closer = better transfer)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="")
     ap.add_argument("--save_every", type=int, default=2000)
     ap.add_argument("--log_every", type=int, default=50)
     args = ap.parse_args()
     train_loftr(
-        tcfg=TrainCfg(batch=args.batch, lr=args.lr,
+        tcfg=TrainCfg(H=args.size, W=args.size, batch=args.batch, lr=args.lr,
                       warmup=max(50, args.steps // 20)),
         n_steps=args.steps, log_every=args.log_every,
         save_path=args.out, save_every=args.save_every,

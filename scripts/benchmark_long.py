@@ -131,8 +131,18 @@ def main():
         print("fixture:", video_dir, flush=True)
 
     out_folder = os.path.join(args.workdir, f"out_{args.matcher}")
-    stats = run_long(video_dir, out_folder, args.matcher, args.sync_delay,
-                     n_step_extend=args.extend)
+    # full-run retry on transient tunnel compile failures (see
+    # benchmark_synth.py)
+    for attempt in range(3):
+        try:
+            stats = run_long(video_dir, out_folder, args.matcher,
+                             args.sync_delay, n_step_extend=args.extend)
+            break
+        except Exception as e:
+            print(f"attempt {attempt} failed: {e}", flush=True)
+            if attempt == 2:
+                raise
+            time.sleep(60.0 * (attempt + 1))
     report = {
         "fixture": {
             "frames": args.frames,

@@ -205,9 +205,21 @@ def main():
         out_folder = os.path.join(args.workdir, f"out_{m}")
         prof = None
         if not args.skip_online:
-            wall, n_fail, failed, prof = run_engine(
-                video_dir, out_folder, m, loftr_ckpt=args.loftr_ckpt,
-                sync_max_delay=args.sync_delay, n_step_extend=args.extend)
+            # the tunneled TPU's remote compiler flakes occasionally
+            # ("response body closed", HTTP 500); a full-engine retry is
+            # the only sound recovery (pipeline state is mid-flight)
+            for attempt in range(3):
+                try:
+                    wall, n_fail, failed, prof = run_engine(
+                        video_dir, out_folder, m, loftr_ckpt=args.loftr_ckpt,
+                        sync_max_delay=args.sync_delay,
+                        n_step_extend=args.extend)
+                    break
+                except Exception as e:
+                    print(f"{m} attempt {attempt} failed: {e}", flush=True)
+                    if attempt == 2:
+                        raise
+                    time.sleep(60.0 * (attempt + 1))
         else:
             wall, n_fail, failed = 0.0, -1, []
         r = evaluate(video_dir, out_folder)

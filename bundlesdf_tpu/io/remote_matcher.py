@@ -77,6 +77,9 @@ class MatchServer:
 class RemoteMatcher:
     """REQ-side client with the standard ``predict`` matcher contract."""
 
+    # the server process owns any compile cost; the client never pads
+    compiled = False
+
     def __init__(self, port: int, host: str = "127.0.0.1", timeout_ms: int = 30000):
         import zmq
 

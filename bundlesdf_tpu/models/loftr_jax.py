@@ -260,6 +260,9 @@ def coarse_match_fixed(conf: jnp.ndarray, Hc: int, Wc: int, thr: float,
     ok = mutual & (conf_best > thr) & inb0[None] & inb1
 
     score = jnp.where(ok, conf_best, -1.0)
+    # small inputs (trainer smoke sizes) can have fewer coarse cells than
+    # the configured match capacity — clamp, the capacity is an upper bound
+    K = min(K, score.shape[1])
     mconf, i_ids = jax.lax.top_k(score, K)     # (B, K)
     j_ids = jnp.take_along_axis(best_j, i_ids, axis=1)
     valid = mconf > 0

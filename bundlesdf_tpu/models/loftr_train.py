@@ -76,6 +76,25 @@ def mixed_texture(key, H, W):
     return jnp.where(jax.random.uniform(ksel) < 0.5, a, b)
 
 
+def random_object_mask(key, H, W):
+    """Soft random ellipse ~ the object silhouette: the production matcher
+    always sees masked object crops on black background
+    (process_image_pair warps fg-masked grays, tracking/corres.py:60-97),
+    so the curriculum must include texture islands with hard black
+    surrounds."""
+    kc, kr, ka = jax.random.split(key, 3)
+    cy, cx = jax.random.uniform(kc, (2,), minval=0.38, maxval=0.62)
+    ry, rx = jax.random.uniform(kr, (2,), minval=0.22, maxval=0.42)
+    ang = jax.random.uniform(ka, (), minval=0.0, maxval=np.pi)
+    ys = (jnp.arange(H, dtype=jnp.float32)[:, None] / H) - cy
+    xs = (jnp.arange(W, dtype=jnp.float32)[None, :] / W) - cx
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    u = (c * xs - s * ys) / rx
+    v = (s * xs + c * ys) / ry
+    d = u * u + v * v
+    return jax.nn.sigmoid((1.0 - d) * 40.0)  # ~2px soft edge
+
+
 def random_homography(key, H, W, max_angle=0.3, max_scale=0.15, max_trans=0.12,
                       max_persp=1e-4):
     """Random similarity + mild perspective about the image center."""
@@ -135,8 +154,16 @@ def make_batch(key, batch: int, H: int, W: int, max_gt: int) -> HomographyBatch:
     Hc, Wc = H // 8, W // 8
 
     def one(k):
-        k1, k2, k3, k4 = jax.random.split(k, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
         img0 = mixed_texture(k1, H, W)
+        # Object-silhouette regime (70%): texture island on black, like the
+        # production masked crops; mask applied BEFORE warping so the two
+        # views stay geometrically consistent.
+        km, ke = jax.random.split(k5)
+        msk = random_object_mask(ke, H, W)
+        use_mask = jax.random.uniform(km) < 0.7
+        msk = jnp.where(use_mask, msk, jnp.ones_like(msk))
+        img0 = img0 * msk
         Hm = random_homography(k2, H, W)
         img1 = warp_image(img0, Hm)
         # photometric jitter on the warped view (brightness/contrast/noise)
@@ -160,6 +187,9 @@ def make_batch(key, batch: int, H: int, W: int, max_gt: int) -> HomographyBatch:
         jx = jnp.clip(jnp.floor(tgt_x).astype(jnp.int32), 0, Wc - 1)
         jy = jnp.clip(jnp.floor(tgt_y).astype(jnp.int32), 0, Hc - 1)
         inb = (px >= 4) & (px < W - 4) & (py >= 4) & (py < H - 4)
+        # background cells (black-on-black) are not positive supervision
+        fg = msk[cy.astype(jnp.int32), cx.astype(jnp.int32)] > 0.5
+        inb = inb & fg
         i_ids = jnp.arange(Hc * Wc)
         j_ids = jy * Wc + jx
         # fixed capacity: top max_gt by in-bounds (ties broken by index)
@@ -241,18 +271,27 @@ def make_train_step(module: LoftrModule, tcfg: TrainCfg, optimizer,
 def train_loftr(cfg: LoftrCfg | None = None, tcfg: TrainCfg = TrainCfg(),
                 n_steps: int = 200, seed: int = 0, mesh: Mesh | None = None,
                 log_every: int = 20, save_path: str = "",
-                save_every: int = 2000):
+                save_every: int = 2000, resume: str = ""):
     """Train from scratch; returns (params, history). The trained params
     plug straight into ``LoftrMatcher(cfg, params=params)`` — the training
     module shares every submodule name with the inference module.  With
     ``save_path`` the params are periodically flushed as an .npz that
-    loftr_jax.load_checkpoint consumes directly."""
+    loftr_jax.load_checkpoint consumes directly.  ``resume`` warm-starts
+    from such an .npz (fresh optimizer state — this is a curriculum
+    restart, not a bitwise resume; the NOF checkpoint path is the bitwise
+    one)."""
     cfg = cfg or LoftrCfg()
     module = LoftrModule(cfg)
     key = jax.random.PRNGKey(seed)
     kinit, key = jax.random.split(key)
-    params = module.init(kinit, jnp.zeros((1, tcfg.H, tcfg.W, 1)),
-                         jnp.zeros((1, tcfg.H, tcfg.W, 1)))
+    if resume:
+        from .loftr_jax import load_checkpoint
+
+        params = load_checkpoint(resume, cfg).params
+        print(f"resumed params from {resume}", flush=True)
+    else:
+        params = module.init(kinit, jnp.zeros((1, tcfg.H, tcfg.W, 1)),
+                             jnp.zeros((1, tcfg.H, tcfg.W, 1)))
     optimizer = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(optax.warmup_cosine_decay_schedule(
@@ -295,10 +334,14 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="")
     ap.add_argument("--save_every", type=int, default=2000)
     ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--resume", default="",
+                    help=".npz checkpoint to warm-start from")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     train_loftr(
         tcfg=TrainCfg(H=args.size, W=args.size, batch=args.batch, lr=args.lr,
                       warmup=max(50, args.steps // 20)),
         n_steps=args.steps, log_every=args.log_every,
-        save_path=args.out, save_every=args.save_every,
+        save_path=args.out, save_every=args.save_every, resume=args.resume,
+        seed=args.seed,
     )

@@ -163,6 +163,10 @@ class SiftMatcher:
     the parity oracle for the jitted matchers.
     """
 
+    # host engine: no XLA program per batch size -> find_corres skips
+    # batch padding entirely (tracking/corres.py)
+    compiled = False
+
     def __init__(self, max_matches: int = 512, ratio: float = 0.8,
                  nfeatures: int = 2000):
         import cv2

@@ -252,17 +252,27 @@ def find_corres(
 
     corres_b = valid_b = None
     if fresh_idx:
-        # Pad the pair batch to ONE fixed size (pair_batch, default 16 =
-        # the BA pair budget): the per-frame pair count is data-dependent
-        # and every distinct batch size triggers a fresh XLA compile of
-        # the matcher + RANSAC — each a ~30-60 s remote compile on the
-        # tunneled TPU, and the round-2 power-of-2 buckets still paid ~5
-        # of them per engine per run.  Oversized batches (rare) fall back
-        # to the next power of two.  Padded slots repeat pair 0 and are
-        # discarded below.
+        # Pad the pair batch to one of TWO fixed sizes, {1, pair_batch}:
+        # the per-frame pair count is data-dependent and every distinct
+        # batch size triggers a fresh XLA compile of the matcher — each a
+        # ~30-60 s remote compile on the tunneled TPU.  The per-frame
+        # reference match is always a SINGLE pair (find_corres_ref), so a
+        # dedicated batch-of-1 program pays one extra compile but stops
+        # burning pair_batch x matcher FLOPs on every frame (~40% of the
+        # round-2 warm frame time).  Oversized batches (rare) fall back to
+        # the next power of two.  Padded slots repeat pair 0 and are
+        # discarded below.  HOST engines (SIFT / remote server) never
+        # compile — they run exactly n_fresh pairs, unpadded.
         n_fresh = len(fresh_idx)
         fixed = int(fc.get("pair_batch", 16))
-        if n_fresh <= fixed:
+        engine = store.matcher if matcher_fn is None else None
+        host_engine = (matcher_fn is None and engine is not None
+                       and not getattr(engine, "compiled", True))
+        if host_engine:
+            n_pad = n_fresh
+        elif n_fresh == 1:
+            n_pad = 1
+        elif n_fresh <= fixed:
             n_pad = fixed
         else:
             n_pad = 1 << max(0, (n_fresh - 1).bit_length())
@@ -318,11 +328,18 @@ def find_corres(
         gated.append(g)
 
     # Model-frame points for RANSAC (reference runRansacMultiPairGPU host
-    # glue transforms matches by the current poses).  Fixed-size padding
-    # over ALL pairs (fresh + raw-reused; padded slots are all-invalid) —
-    # one compiled RANSAC program per run (see pair_batch above).
+    # glue transforms matches by the current poses).  Padding over ALL
+    # pairs (fresh + raw-reused; padded slots are all-invalid) to one of
+    # TWO bucket sizes {1, pair_batch} — two compiled RANSAC programs per
+    # run, and the per-frame single-pair reference RANSAC stops paying
+    # pair_batch x trials x points of wasted work (see pair_batch above).
     fixed = int(fc.get("pair_batch", 16))
-    P = fixed if len(pairs) <= fixed else 1 << max(0, (len(pairs) - 1).bit_length())
+    if len(pairs) == 1:
+        P = 1
+    elif len(pairs) <= fixed:
+        P = fixed
+    else:
+        P = 1 << max(0, (len(pairs) - 1).bit_length())
     M = store.max_matches
     ptsA = np.zeros((P, M, 3), np.float32)
     ptsB = np.zeros((P, M, 3), np.float32)

@@ -195,14 +195,18 @@ def main():
         make_hard_video(video_dir, n_frames=args.frames, deg_step=args.deg)
         print("fixture:", video_dir, flush=True)
 
-    report = {
-        "fixture": {
-            "frames": args.frames,
-            "total_rotation_deg": args.deg * (args.frames - 1),
-            "occluder": True,
-            "depth_noise_m": 0.0015,
-            "noise_model": "spatially-correlated (10 px) + 2% dropout + mm quantization",
-        }
+    report = {}
+    if os.path.isfile(args.out):
+        # merge: a single-engine rerun must not clobber the other
+        # engines' committed sections
+        with open(args.out) as f:
+            report = json.load(f)
+    report["fixture"] = {
+        "frames": args.frames,
+        "total_rotation_deg": args.deg * (args.frames - 1),
+        "occluder": True,
+        "depth_noise_m": 0.0015,
+        "noise_model": "spatially-correlated (10 px) + 2% dropout + mm quantization",
     }
     if args.sync_delay is not None:
         report["fixture"]["sync_max_delay"] = args.sync_delay

@@ -86,3 +86,48 @@ def test_track_propagation_feeds_ransac_candidates():
 
     corres_mod.find_corres(store, [(f2, f0)], cfg, matcher_fn=empty_matcher)
     assert store.n_inliers((2, 0)) >= 3
+
+
+def test_pair_batch_buckets():
+    """Batch padding buckets to {1, pair_batch} for compiled engines and
+    is skipped entirely for host engines (compiled=False)."""
+    cfg, frames = _frames(3)
+    cfg["feature_corres"]["pair_batch"] = 4
+    f0, f1, f2 = frames
+
+    sizes = []
+
+    def spy(imgsA, imgsB):
+        sizes.append(len(imgsA))
+        from bundlesdf_tpu.models import matcher as m
+        import jax.numpy as jnp
+        res = m.match_pairs_batched(
+            jnp.asarray(imgsA), jnp.asarray(imgsB),
+            m.CornerMatcherCfg(max_matches=256))
+        return np.asarray(res["corres"]), np.asarray(res["valid"])
+
+    store = corres_mod.CorresStore(cfg)
+    corres_mod.find_corres(store, [(f1, f0)], cfg, matcher_fn=spy)
+    assert sizes[-1] == 1, "single fresh pair must use the batch-of-1 bucket"
+    store2 = corres_mod.CorresStore(cfg)
+    corres_mod.find_corres(store2, [(f1, f0), (f2, f0), (f2, f1)], cfg,
+                           matcher_fn=spy)
+    assert sizes[-1] == 4, "multi-pair batches pad to pair_batch"
+
+    # host engine: exact batch, no padding
+    class HostSpy:
+        compiled = False
+
+        def __init__(self):
+            self.sizes = []
+
+        def predict(self, imgsA, imgsB):
+            self.sizes.append(len(imgsA))
+            B = len(imgsA)
+            return (np.zeros((B, 256, 5), np.float32),
+                    np.zeros((B, 256), bool))
+
+    store3 = corres_mod.CorresStore(cfg)
+    store3.matcher = HostSpy()
+    corres_mod.find_corres(store3, [(f1, f0), (f2, f0), (f2, f1)], cfg)
+    assert store3.matcher.sizes == [3], "host engines run unpadded"

@@ -96,7 +96,24 @@ def run_matcher(name, pairs, cfg, loftr_ckpt=""):
         from bundlesdf_tpu.tracking.corres import make_matcher
 
         eng = make_matcher(cfg2)
-        corres_b, valid_b = eng.predict(imgsA, imgsB)
+        # chunk the batch: 24 pairs of 400^2 through the transformer in one
+        # program is too big for the CPU-eval path (and one fixed chunk
+        # shape = one compile on TPU)
+        ck = 4
+        n = len(imgsA)
+        cbs, vbs = [], []
+        for s in range(0, n, ck):
+            a = imgsA[s:s + ck]
+            b = imgsB[s:s + ck]
+            pad = ck - len(a)
+            if pad:
+                a = np.concatenate([a, np.repeat(a[:1], pad, 0)])
+                b = np.concatenate([b, np.repeat(b[:1], pad, 0)])
+            cb, vb = eng.predict(a, b)
+            cbs.append(np.asarray(cb)[:ck - pad])
+            vbs.append(np.asarray(vb)[:ck - pad])
+        corres_b = np.concatenate(cbs)
+        valid_b = np.concatenate(vbs)
 
     out = []
     for i, (fa, fb) in enumerate(pairs):

@@ -27,10 +27,18 @@ import numpy as np
 class MatchServer:
     """Serves a matcher engine over a ZMQ REP socket."""
 
-    def __init__(self, engine, port: int = 0, host: str = "127.0.0.1"):
+    def __init__(self, engine, port: int = 0, host: str = "127.0.0.1",
+                 pair_batch: int = 16):
         import zmq
 
         self.engine = engine
+        # Batch-size bucketing for served JITTED engines: clients send
+        # data-dependent batch sizes, and every distinct size would trigger
+        # a fresh server-side XLA compile (~30-60 s on a tunneled TPU).
+        # Pad to {1, pair_batch, next-pow2} exactly like find_corres does
+        # (tracking/corres.py), then trim the reply (ADVICE r3 #2).  Host
+        # engines (compiled=False) run unpadded.
+        self.pair_batch = int(pair_batch)
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(zmq.REP)
         if port == 0:
@@ -51,7 +59,17 @@ class MatchServer:
         imgs = [np.frombuffer(f, np.uint8).reshape(H, W) for f in frames[1:]]
         a = np.stack(imgs[0::2])
         b = np.stack(imgs[1::2])
+        n = len(a)
+        if getattr(self.engine, "compiled", True) and n > 1:
+            if n <= self.pair_batch:
+                n_pad = self.pair_batch
+            else:
+                n_pad = 1 << max(0, (n - 1).bit_length())
+            if n_pad > n:
+                a = np.concatenate([a, np.repeat(a[:1], n_pad - n, axis=0)])
+                b = np.concatenate([b, np.repeat(b[:1], n_pad - n, axis=0)])
         corres, valid = self.engine.predict(a, b)
+        corres, valid = corres[:n], valid[:n]
         corres = np.ascontiguousarray(corres, np.float32)
         valid = np.ascontiguousarray(valid, np.uint8)
         hdr = np.array([corres.shape[0], corres.shape[1]], np.int32)

@@ -395,6 +395,10 @@ class NofRunner:
         self.optimizer = make_optimizer(cfg)
         self.opt_state = self.optimizer.init(self.params)
         self.global_step = 0
+        # cumulative step counter for the checkpoint cadence: NEVER reset by
+        # add_new_frames (which zeroes global_step per extension round), so
+        # i_weights checkpoints keep firing across rounds (ADVICE r3 #3)
+        self.total_step = 0
         self.key = jax.random.PRNGKey(42)
 
         n_rand = int(cfg["N_rand"])
@@ -648,7 +652,7 @@ class NofRunner:
         # checkpoint cadence (reference i_weights, config.yml:37 — default
         # effectively off); checked at loop-chunk granularity
         i_weights = int(self.cfg.get("i_weights", 999999))
-        next_ckpt = (self.global_step // i_weights + 1) * i_weights
+        next_ckpt = (self.total_step // i_weights + 1) * i_weights
         while done < n_steps:
             n = min(self.loop_chunk, n_steps - done)
             self.params, self.opt_state, metrics = self._train_many(
@@ -656,8 +660,9 @@ class NofRunner:
                 self.rays_dev, self.n_rays, self.occ_grid, self.c2w_dev, n,
             )
             self.global_step += n
+            self.total_step += n
             done += n
-            if self.global_step >= next_ckpt:
+            if self.total_step >= next_ckpt:
                 import os
 
                 os.makedirs(self.cfg["save_dir"], exist_ok=True)
@@ -694,7 +699,23 @@ class NofRunner:
                     )
                 )
                 self.global_step += n
+                self.total_step += n
                 done += n
+
+    def train_queue_ready(self) -> bool:
+        """True if all dispatched async training work has completed (the
+        device queue is drained) — WITHOUT blocking.  Used by the scheduler
+        to top up the queue when the device would otherwise idle, and to
+        hold back when it is still busy (keeps tracker device calls from
+        queueing behind a deep NOF backlog)."""
+        m = getattr(self, "_metrics_async", None)
+        if m is None:
+            return True
+        leaf = jax.tree_util.tree_leaves(m)[0]
+        try:
+            return bool(leaf.is_ready())
+        except Exception:
+            return True
 
     def train_drain(self) -> dict:
         """Block until all dispatched training work is done; return the last
@@ -708,8 +729,8 @@ class NofRunner:
         # checkpoint cadence (reference i_weights): checked at round
         # granularity on the async path
         i_weights = int(self.cfg.get("i_weights", 999999))
-        if self.global_step // i_weights > getattr(self, "_ckpt_done", 0):
-            self._ckpt_done = self.global_step // i_weights
+        if self.total_step // i_weights > getattr(self, "_ckpt_done", 0):
+            self._ckpt_done = self.total_step // i_weights
             import os
 
             os.makedirs(self.cfg["save_dir"], exist_ok=True)
@@ -955,6 +976,7 @@ class NofRunner:
             "params": flat_params,
             "opt_state": flat_opt,
             "global_step": self.global_step,
+            "total_step": self.total_step,
             "occ_grid": np.asarray(self.occ_grid),
             "c2w": self.c2w_np,
             "n_frames": self.n_frames,
@@ -1034,6 +1056,7 @@ class NofRunner:
         self.params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
         self.opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
         self.global_step = int(ckpt["global_step"])
+        self.total_step = int(ckpt.get("total_step", ckpt["global_step"]))
         self.occ_grid = jnp.asarray(ckpt["occ_grid"])
         self.n_frames = int(ckpt["n_frames"])
         self.c2w_np[:] = ckpt["c2w"]

@@ -42,19 +42,56 @@ class RansacParams(NamedTuple):
     min_match_after_ransac: int = 5
 
 
-def _sample_indices(key, n_pairs: int, n_trials: int, n_matches: int, weights):
-    """Draw 3 distinct-ish correspondence indices per (pair, trial).
+def _sample_indices(key, n_pairs: int, n_trials: int, n_matches: int, valid):
+    """Draw 3 correspondence indices per (pair, trial), uniform over the
+    VALID matches only (invalid rows get probability 0).
 
-    Weighted by validity: invalid matches get probability 0.  Uses
-    categorical sampling on log-weights; distinctness is encouraged by
-    independent draws (degenerate triples are rejected later by the span
-    check, as in the reference's degeneracy checks
-    FeatureManager.cpp:1271-1304).
+    Implementation: stable argsort of ~valid lists the valid row indices
+    first; a uniform draw in [0, n_valid) indexes into that list.  This is
+    3*P*T random draws instead of a (3, P, T, M) categorical-Gumbel tensor
+    (~200 MB at the production shapes).  Distinctness is encouraged by
+    independent draws; degenerate triples are rejected by the span check,
+    as in the reference (FeatureManager.cpp:1271-1304).
     """
-    logits = jnp.where(weights > 0, 0.0, -1e9)  # (n_pairs, n_matches)
-    logits = jnp.broadcast_to(logits[:, None, :], (n_pairs, n_trials, n_matches))
-    idx = jax.random.categorical(key, logits, axis=-1, shape=(3, n_pairs, n_trials))
-    return jnp.moveaxis(idx, 0, -1)  # (n_pairs, n_trials, 3)
+    valid_rows = jnp.argsort(~valid, axis=-1, stable=True)  # (P, M)
+    n_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)       # (P,)
+    u = jax.random.uniform(key, (n_pairs, n_trials, 3))
+    r = jnp.minimum(
+        (u * n_valid[:, None, None]).astype(jnp.int32), (n_valid - 1)[:, None, None]
+    )  # (P, T, 3)
+    return jax.vmap(lambda vr, ri: vr[ri])(valid_rows, r)   # (P, T, 3)
+
+
+def _tri_rigid(a: jnp.ndarray, b: jnp.ndarray):
+    """Closed-form rigid transform from 3-point correspondences WITHOUT an
+    SVD: build orthonormal triangle bases on both sides, R = B_basis @
+    A_basis^T, t = c_b - R c_a.  (..., 3, 3) triples -> (..., 4, 4).
+
+    For a minimal 3-point sample this is the exact aligning transform (the
+    reference's on-device model estimation is likewise closed-form,
+    cuda_ransac.cu ransacEstimateModelKernel); per-trial Jacobi SVDs are
+    ~10x the arithmetic for the same model.
+    """
+    def basis(p):
+        e1 = p[..., 1, :] - p[..., 0, :]
+        e1 = e1 / (jnp.linalg.norm(e1, axis=-1, keepdims=True) + 1e-12)
+        u = p[..., 2, :] - p[..., 0, :]
+        e2 = u - jnp.sum(u * e1, axis=-1, keepdims=True) * e1
+        e2 = e2 / (jnp.linalg.norm(e2, axis=-1, keepdims=True) + 1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)  # columns
+
+    A = basis(a)
+    B = basis(b)
+    R = B @ jnp.swapaxes(A, -1, -2)
+    ca = a.mean(axis=-2)
+    cb = b.mean(axis=-2)
+    t = cb - jnp.einsum("...ij,...j->...i", R, ca)
+    T = jnp.zeros(a.shape[:-2] + (4, 4), a.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -90,9 +127,7 @@ def ransac_multi_pair(
     """
     n_pairs, n_matches, _ = pts_a.shape
     n_trials = params.n_trials
-    w = valid.astype(jnp.float32)
-
-    idx = _sample_indices(key, n_pairs, n_trials, n_matches, w)  # (P, T, 3)
+    idx = _sample_indices(key, n_pairs, n_trials, n_matches, valid)  # (P, T, 3)
     take = jax.vmap(lambda p, i: p[i])  # gather per pair
 
     tri_a = jax.vmap(lambda p, i: p[i])(pts_a, idx.reshape(n_pairs, -1)).reshape(
@@ -127,26 +162,59 @@ def ransac_multi_pair(
         distinct & tri_valid.all(axis=-1) & (min_span > 1e-4) & consistent
     )  # (P, T)
 
-    # 3-point Kabsch per (pair, trial): batched 3x3 SVD.
-    T = se3.kabsch(
-        tri_a.reshape(-1, 3, 3), tri_b.reshape(-1, 3, 3)
-    ).reshape(n_pairs, n_trials, 4, 4)
+    # 3-point closed-form rigid solve per (pair, trial) — no per-trial SVD.
+    T = _tri_rigid(tri_a, tri_b)  # (P, T, 4, 4)
 
-    # Inlier evaluation grid: (P, T, M).
+    # Inlier evaluation grid (P, T, M) as ONE batched MXU matmul per output
+    # instead of (P, T, M, 3) einsum intermediates (~200 MB at production
+    # shapes):
+    #   |R a + t - b|^2 = |a|^2 + |b|^2 + |t|^2
+    #                     + 2 a.(R^T t) - 2 vec(R).vec(b (x) a) - 2 b.t
+    #   n_b.(R n_a)     =                   vec(R).vec(n_b (x) n_a)
+    # -> per-trial weights w(t) against per-match features f(m), K = 16/9.
     Rm = T[..., :3, :3]
     tm = T[..., :3, 3]
-    moved = (
-        jnp.einsum("ptij,pmj->ptmi", Rm, pts_a) + tm[:, :, None, :]
-    )  # (P, T, M, 3)
-    dist = jnp.linalg.norm(moved - pts_b[:, None], axis=-1)
-    moved_n = jnp.einsum("ptij,pmj->ptmi", Rm, normals_a)
-    cos_n = jnp.sum(moved_n * normals_b[:, None], axis=-1)
+    Rt_t = jnp.einsum("ptij,pti->ptj", Rm, tm)          # (P, T, 3) = R^T t
+    w_dist = jnp.concatenate(
+        [
+            -2.0 * Rm.reshape(n_pairs, n_trials, 9),
+            2.0 * Rt_t,
+            -2.0 * tm,
+            jnp.sum(tm * tm, axis=-1, keepdims=True),
+        ],
+        axis=-1,
+    )  # (P, T, 16)
+    ba_outer = jnp.einsum("pmi,pmj->pmij", pts_b, pts_a)
+    f_dist = jnp.concatenate(
+        [
+            ba_outer.reshape(n_pairs, n_matches, 9),
+            pts_a,
+            pts_b,
+            jnp.ones((n_pairs, n_matches, 1), pts_a.dtype),
+        ],
+        axis=-1,
+    )  # (P, M, 16)
+    dist2 = (
+        jnp.einsum("ptk,pmk->ptm", w_dist, f_dist,
+                   preferred_element_type=jnp.float32)
+        + jnp.sum(pts_a * pts_a, axis=-1)[:, None, :]
+        + jnp.sum(pts_b * pts_b, axis=-1)[:, None, :]
+    )  # (P, T, M)
+    nn_outer = jnp.einsum("pmi,pmj->pmij", normals_b, normals_a)
+    cos_n = jnp.einsum(
+        "ptk,pmk->ptm",
+        Rm.reshape(n_pairs, n_trials, 9),
+        nn_outer.reshape(n_pairs, n_matches, 9),
+        preferred_element_type=jnp.float32,
+    )
     has_n = (jnp.linalg.norm(normals_a, axis=-1) > 0.5) & (
         jnp.linalg.norm(normals_b, axis=-1) > 0.5
     )
     cos_thres = jnp.cos(jnp.deg2rad(params.inlier_normal_angle_deg))
     normal_ok = jnp.where(has_n[:, None], cos_n > cos_thres, True)
-    inlier = (dist < params.inlier_dist) & normal_ok & valid[:, None]  # (P,T,M)
+    inlier = (
+        (dist2 < params.inlier_dist ** 2) & normal_ok & valid[:, None]
+    )  # (P, T, M)
     n_inl = jnp.sum(inlier, axis=-1)  # (P, T)
 
     # Model caps: translation & rotation magnitude vs identity (reference

@@ -124,9 +124,23 @@ class BundleSdf:
                     or (n_kf >= self.start_nerf_keyframes)):
                 with span("nof/round_start"):
                     self._nof_round_start()
+                if delay == 0 and self._nof_steps_left > 0:
+                    # Strict lockstep (sync_max_delay 0, config.yml:102): the
+                    # reference wait loop (bundlesdf.py:571-582) blocks until
+                    # the round containing the just-pushed keyframe finishes,
+                    # so the new round drains synchronously too (ADVICE r3 #1).
+                    with span("nof/sync_wait"):
+                        self._nof_round_advance(self._nof_steps_left)
             if self._nof_steps_left > 0:
                 per_frame = int(self.cfg_nof.get("nof_steps_per_frame", 0)) \
                     or (self.nof.loop_chunk if self.nof else 0)
+                # Queue-aware dispatch: if the device has drained everything
+                # (it would idle during the next frame's host work), top up
+                # with a double budget; if it is still chewing, keep the
+                # backlog shallow so tracker device launches (fused corres,
+                # BA) don't queue behind a deep NOF backlog.
+                if self.nof is not None and self.nof.train_queue_ready():
+                    per_frame *= 2
                 with span("nof/advance"):
                     self._nof_round_advance(per_frame)
 

@@ -57,8 +57,11 @@ def in_plane_rotation(fa: Frame, fb: Frame) -> float:
     return float(Rotation.from_matrix(R_BA).as_rotvec()[2])
 
 
-def process_image_pair(fa: Frame, fb: Frame, out_size: int):
-    """Returns (warped_gray_A, warped_gray_B, tfA, tfB)."""
+def pair_homographies(fa: Frame, fb: Frame, out_size: int):
+    """The processImagePair homography math WITHOUT the warp: returns the
+    3x3 full-res -> crop transforms (tfA, tfB).  Shared by the host cv2
+    path (process_image_pair) and the fused device path, which warps on
+    device from the resident frame pool (ops/fused_corres.py)."""
     H, W = fb.H, fb.W
     roiA, roiB = fa.roi, fb.roi
     margin = 10
@@ -91,7 +94,12 @@ def process_image_pair(fa: Frame, fb: Frame, out_size: int):
     sO = np.eye(3); sO[:2, :2] *= out_size / max_dim
     tfA = sO @ tfA
     tfB = sO @ tfB
+    return tfA, tfB
 
+
+def process_image_pair(fa: Frame, fb: Frame, out_size: int):
+    """Returns (warped_gray_A, warped_gray_B, tfA, tfB)."""
+    tfA, tfB = pair_homographies(fa, fb, out_size)
     outA = cv2.warpPerspective(fa.gray.astype(np.float32), tfA, (out_size, out_size))
     outB = cv2.warpPerspective(fb.gray.astype(np.float32), tfB, (out_size, out_size))
     return outA, outB, tfA, tfB
@@ -145,6 +153,28 @@ class CorresStore:
         self.tracks = FeatureTracks()
         # configured matching engine (None = built-in corner matcher)
         self.matcher = make_matcher(cfg)
+        # device-resident frame pool for the fused one-launch path (created
+        # lazily at the first find_corres; corner engine only)
+        self.device_pool = None
+        self._fused_enabled = bool(cfg["feature_corres"].get("fused", True))
+
+    @property
+    def use_fused(self):
+        # dynamic: engines can be swapped in after construction (tests,
+        # remote serving); the fused path only covers the built-in matcher
+        return self._fused_enabled and self.matcher is None
+
+    def _ensure_pool(self, frame):
+        if self.device_pool is None:
+            from .device_pool import DeviceFramePool
+
+            self.device_pool = DeviceFramePool(
+                frame.H, frame.W,
+                capacity=int(self.cfg["feature_corres"].get(
+                    "device_pool_slots", 64)),
+            )
+            self.device_pool.K = jnp.asarray(frame.K)
+        return self.device_pool
 
     def forget_frame(self, fid: int):
         """Erase all matches touching a frame (reference forgetFrame ->
@@ -153,6 +183,8 @@ class CorresStore:
             for k in [k for k in table if fid in k]:
                 del table[k]
         self.tracks.forget_frame(fid)
+        if self.device_pool is not None:
+            self.device_pool.release(fid)
 
     def invalidate_matches(self, fid: int):
         """Erase only the gated matches touching a frame, KEEPING the raw
@@ -240,6 +272,140 @@ def find_corres(
     # does NOT re-run for them.
     fresh_idx = [i for i, (fa, fb) in enumerate(pairs)
                  if (fa.id, fb.id) not in store.raw]
+
+    if store.use_fused and matcher_fn is None:
+        # One-launch device path (ops/fused_corres.py): frames resident in
+        # the device pool, warp+match+gate+RANSAC fused, single readback.
+        fresh_set = set(fresh_idx)
+        fresh_pairs = [pairs[i] for i in fresh_idx]
+        reused = [p for i, p in enumerate(pairs) if i not in fresh_set]
+        if fresh_pairs:
+            _find_corres_fused(store, fresh_pairs, cfg, matcher_cfg, key)
+        if reused:
+            # raw-reuse path stays host-gated (the matcher must NOT re-run)
+            _find_corres_legacy(store, reused, cfg, matcher_cfg, key, None, [])
+        return
+    _find_corres_legacy(store, pairs, cfg, matcher_cfg, key, matcher_fn,
+                        fresh_idx)
+
+
+def _find_corres_fused(store, pairs, cfg, matcher_cfg, key):
+    """Fused device path for fresh pairs (see ops/fused_corres.py)."""
+    from ..ops import fused_corres as fused_ops
+
+    fc = cfg["feature_corres"]
+    rcfg = cfg["ransac"]
+    out_size = int(fc["resize"])
+    M = store.max_matches
+    pool = store._ensure_pool(pairs[0][0])
+
+    all_frames, seen = [], set()
+    for fa, fb in pairs:
+        for f in (fa, fb):
+            if f.id not in seen:
+                seen.add(f.id)
+                all_frames.append(f)
+    with span("corres/pool_upload"):
+        pool.ensure(all_frames)
+        slot_of = {f.id: pool.slot_of[f.id] for f in all_frames}
+
+    params = ransac_ops.RansacParams(
+        n_trials=int(rcfg["max_iter"]),
+        inlier_dist=float(rcfg["inlier_dist"]),
+        inlier_normal_angle_deg=float(rcfg["inlier_normal_angle"]),
+        min_match_after_ransac=int(rcfg["min_match_after_ransac"]),
+    )
+    fcfg = fused_ops.FusedCorresCfg(
+        out_size=out_size, n_extra=int(fc.get("n_extra_prop", 128)),
+        matcher=matcher_cfg, ransac=params,
+    )
+
+    pairs_data = []
+    props = []
+    with span("corres/warp"):
+        for fa, fb in pairs:
+            tfA, tfB = pair_homographies(fa, fb, out_size)
+            pA_uv, pB_uv = store.tracks.propagate(fa.id, fb.id)
+            extra = (np.concatenate([pA_uv, pB_uv], axis=-1)
+                     if len(pA_uv) else np.zeros((0, 4)))
+            props.append(extra)
+            neighbor = abs(fa.id - fb.id) == 1
+            pairs_data.append({
+                "slotA": slot_of[fa.id], "slotB": slot_of[fb.id],
+                "valid": True,
+                "tfA_inv": np.linalg.inv(tfA), "tfB_inv": np.linalg.inv(tfB),
+                "poseA": fa.pose_in_model, "poseB": fb.pose_in_model,
+                "extra_uv": extra,
+                "max_trans": float(rcfg["max_trans_neighbor"] if neighbor
+                                   else rcfg["max_trans_no_neighbor"]),
+                "max_rot_deg": float(rcfg["max_rot_deg_neighbor"] if neighbor
+                                     else rcfg["max_rot_no_neighbor"]),
+            })
+
+    # batch-size bucketing {1, pair_batch, pow2} — one compiled program per
+    # bucket (see the legacy path's rationale)
+    n = len(pairs_data)
+    fixed = int(fc.get("pair_batch", 16))
+    if n == 1:
+        P = 1
+    elif n <= fixed:
+        P = fixed
+    else:
+        P = 1 << max(0, (n - 1).bit_length())
+    pad = dict(pairs_data[0])
+    pad["valid"] = False
+    pairs_data += [pad] * (P - n)
+
+    packed = fused_ops.pack_call(pairs_data, fcfg.n_extra)
+    with span("corres/match"):
+        buf = fused_ops.fused_find_corres_packed(
+            pool.gray, pool.depth, pool.normals, pool.K,
+            packed, key, fcfg,
+        )
+        res = fused_ops.unpack_result(buf, M)
+
+    for i, (fa, fb) in enumerate(pairs):
+        row_valid = res["row_valid"][i]
+        uvA_f = res["uvA"][i]
+        uvB_f = res["uvB"][i]
+        nv = int(row_valid.sum())
+        # raw table (float uv, matcher-then-propagated order — same layout
+        # as the legacy path's store.raw)
+        store.raw[(fa.id, fb.id)] = np.concatenate(
+            [uvA_f[:nv], uvB_f[:nv]], axis=-1).astype(np.float32)
+        # gated match table (host maps for pA/nA — the device decided
+        # validity/inliers from its quantized pool; host stores its own
+        # full-precision values for BA/procrustes)
+        uvAc = np.clip(np.round(uvA_f).astype(np.int64), 0,
+                       [fa.W - 1, fa.H - 1])
+        uvBc = np.clip(np.round(uvB_f).astype(np.int64), 0,
+                       [fb.W - 1, fb.H - 1])
+        g = {
+            "uvA": np.where(row_valid[:, None], uvAc, 0).astype(np.int32),
+            "uvB": np.where(row_valid[:, None], uvBc, 0).astype(np.int32),
+            "pA": np.where(row_valid[:, None],
+                           fa.xyz[uvAc[:, 1], uvAc[:, 0]], 0.0
+                           ).astype(np.float32),
+            "pB": np.where(row_valid[:, None],
+                           fb.xyz[uvBc[:, 1], uvBc[:, 0]], 0.0
+                           ).astype(np.float32),
+            "nA": np.where(row_valid[:, None],
+                           fa.normals[uvAc[:, 1], uvAc[:, 0]], 0.0
+                           ).astype(np.float32),
+            "nB": np.where(row_valid[:, None],
+                           fb.normals[uvBc[:, 1], uvBc[:, 0]], 0.0
+                           ).astype(np.float32),
+            "valid": res["gate_valid"][i],
+            "inlier": res["inlier"][i] & res["gate_valid"][i],
+        }
+        store.matches[(fa.id, fb.id)] = g
+        store.tracks.add_matches(fa.id, fb.id, g["uvA"], g["uvB"], g["inlier"])
+
+
+def _find_corres_legacy(store, pairs, cfg, matcher_cfg, key, matcher_fn,
+                        fresh_idx):
+    fc = cfg["feature_corres"]
+    out_size = int(fc["resize"])
 
     imgsA, imgsB = [], []
     tfsA = [None] * len(pairs)

@@ -201,7 +201,7 @@ def main():
         # engines' committed sections
         with open(args.out) as f:
             report = json.load(f)
-    report["fixture"] = {
+    fixture = {
         "frames": args.frames,
         "total_rotation_deg": args.deg * (args.frames - 1),
         "occluder": True,
@@ -209,9 +209,20 @@ def main():
         "noise_model": "spatially-correlated (10 px) + 2% dropout + mm quantization",
     }
     if args.sync_delay is not None:
-        report["fixture"]["sync_max_delay"] = args.sync_delay
+        fixture["sync_max_delay"] = args.sync_delay
     if args.extend is not None:
-        report["fixture"]["n_step_extend"] = args.extend
+        fixture["n_step_extend"] = args.extend
+    # A rerun with different --frames/--deg/--sync_delay must not silently
+    # keep engine sections measured against a different fixture: each engine
+    # section records the fixture it was measured on, and stale ones are
+    # dropped at merge time (ADVICE r3 #4).
+    fix_key = json.dumps(fixture, sort_keys=True)
+    for k in [k for k, v in report.items()
+              if isinstance(v, dict) and k != "fixture"
+              and json.dumps(v.get("fixture", None), sort_keys=True) != fix_key]:
+        print(f"dropping stale section {k!r} (fixture mismatch)", flush=True)
+        del report[k]
+    report["fixture"] = fixture
     matchers = [m.strip() for m in args.matchers.split(",") if m.strip()]
     for m in matchers:
         out_folder = os.path.join(args.workdir, f"out_{m}")
@@ -243,6 +254,7 @@ def main():
             r["failed_frames"] = failed
         if prof:
             r["profile"] = prof
+        r["fixture"] = fixture
         report[m] = r
         print(m, json.dumps(r), flush=True)
 
@@ -254,7 +266,8 @@ def main():
         r = {"matcher": matchers[0],
              "refine_steps": args.refine_steps or 2000,
              "mesh_mean_dist_cm": r.get("mesh_mean_dist_cm"),
-             "textured": True, "wall_s": round(wall, 1)}
+             "textured": True, "wall_s": round(wall, 1),
+             "fixture": fixture}
         report["global_refine"] = r
         print("global_refine", json.dumps(r), flush=True)
 

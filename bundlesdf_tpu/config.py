@@ -225,6 +225,11 @@ def default_nof_config() -> Cfg:
             # reference kernel, ops/hashgrid_pallas.py).
             "hash_layout": "cell",
             "hash_scatter": "auto",
+            # bf16 staging of the big dense levels' corner cache / grad
+            # cache (table weights + Adam state stay f32; see
+            # HashGridSpec.big_dtype).  Halves the step's dominant HBM
+            # traffic; quality re-validated in EVAL_synth.json (r4).
+            "hash_big_dtype": "bfloat16",
             "n_train_image": 300,
             "use_octree": 1,
             "first_frame_weight": 10.0,

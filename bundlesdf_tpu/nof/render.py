@@ -255,9 +255,12 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
     # rank-count (see ops/occupancy.py): fused compare+reduce beats the
-    # vmapped-searchsorted binary search's batched dynamic gathers
-    idx = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
-                  axis=-1)
+    # vmapped-searchsorted binary search's batched dynamic gathers.
+    # u8 compare values (bin counts < 256) quarter the (N, S, B) temp's
+    # bytes; the sum accumulates in i32.
+    cmp_dt = jnp.uint8 if cdf.shape[-1] <= 255 else jnp.int32
+    idx = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(cmp_dt),
+                  axis=-1, dtype=jnp.int32)
     below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
     above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
     cdf_b = jnp.take_along_axis(cdf, below, axis=-1)

@@ -338,6 +338,7 @@ class NofRunner:
                 str(cfg.get("hash_scatter", "auto")),
                 max(1, int(cfg.get("dp_devices", 0) or 0)),
             ),
+            big_dtype=str(cfg.get("hash_big_dtype", "float32")),
         )
         self.spec = nof_model.NofSpec(
             grid=grid_spec,

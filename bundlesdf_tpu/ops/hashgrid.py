@@ -49,6 +49,14 @@ class HashGridSpec(NamedTuple):
     #           single-device programs — GSPMD cannot partition the
     #           custom call; see ops/hashgrid_pallas.py).
     scatter: str = "xla"
+    # Staging dtype for BIG dense levels (>= _BIG_CACHE_CELLS cells):
+    # "bfloat16" halves the HBM traffic of the corner cache (fwd gather
+    # source), the backward's scatter destination, and feeds a one-pass
+    # conv cache-grad reduce.  TABLE WEIGHTS, Adam state and the final
+    # d_table stay f32 — only the per-step staging copies are rounded
+    # (mixed precision; the r3 cost model showed the step is ~100%
+    # bandwidth on exactly these arrays).  "float32" = exact (default).
+    big_dtype: str = "float32"
 
     @property
     def per_level_scale(self) -> float:
@@ -271,7 +279,21 @@ def _level_views(table, spec: HashGridSpec):
     return views
 
 
-def _build_cell_cache(level_table, p, C: int):
+# Dense levels at or above this CELL count stage through spec.big_dtype
+# (lv2 64^3 and lv3 128^3 at the online budget; the small levels' arrays
+# are too small for bandwidth to matter).
+_BIG_CACHE_CELLS = 1 << 18
+
+
+def _lvl_dtype(spec, p):
+    """Staging dtype for one level's cache / grad-cache."""
+    if (spec.big_dtype == "bfloat16" and p["dense"]
+            and p["res"] ** 3 >= _BIG_CACHE_CELLS):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _build_cell_cache(level_table, p, C: int, dtype=jnp.float32):
     """Dense level (size*C,) flat view -> (res^3, 8*C) corner cache.
 
     Pure dense slicing — no random access.  Corner order matches _CORNERS;
@@ -289,7 +311,7 @@ def _build_cell_cache(level_table, p, C: int):
                 (S, S, S))
             sl = jax.lax.slice(t3, (int(c[0]), int(c[1]), int(c[2])),
                                (int(c[0]) + R, int(c[1]) + R, int(c[2]) + R))
-            cols.append(sl.reshape(R * R * R))
+            cols.append(sl.reshape(R * R * R).astype(dtype))
     return jnp.stack(cols, axis=-1)  # (R^3, 8*C)
 
 
@@ -328,6 +350,39 @@ def _reduce_cell_cache_grad(d_cache, p, C: int):
             a3 = padded if a3 is None else a3 + padded
         acc.append(a3.reshape(-1))
     flat = jnp.stack(acc, axis=-1).reshape(-1)  # interleave channels
+    if S * S * S < p["size"]:
+        flat = jnp.pad(flat, (0, (p["size"] - S * S * S) * C))
+    return flat
+
+
+def _reduce_cell_cache_grad_conv(d_cache, p, C: int):
+    """Cache-grad reduce for bf16-staged levels: one-hot 2x2x2 3-D conv
+    (input channels 8*C -> C), f32 accumulation.
+
+    Measured at the lv3 shape (r4): STANDALONE a transpose-first pad-add
+    looks best (8.8 ms vs conv 14.3 vs bf16 strided slices 16.6), but IN
+    SITU the transpose of the scatter's output forces a relayout (full
+    step 48.2 ms vs 42.4 with the conv — the same composition pathology
+    r3 hit at f32), so the conv form ships.  An f32 conv stays rejected
+    (HIGHEST-precision f32 convs are ~8 MXU passes, r3)."""
+    R = p["res"]
+    S = R + 1
+    x = d_cache.reshape(1, R, R, R, 8 * C)
+    w = np.zeros((2, 2, 2, 8 * C, C), np.float32)
+    for ci, c in enumerate(_CORNERS):
+        for ch in range(C):
+            # out[z+cz, y+cy, x+cx, ch] += in[z, y, x, ci*C+ch]
+            # conv: out[o] = sum_k in[o + k - pad_lo] * w[k]; pad_lo = 1
+            # -> k = 1 - c
+            w[1 - int(c[0]), 1 - int(c[1]), 1 - int(c[2]), ci * C + ch, ch] = 1.0
+    out = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w, d_cache.dtype),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )  # (1, S, S, S, C) f32
+    flat = out.reshape(-1)
     if S * S * S < p["size"]:
         flat = jnp.pad(flat, (0, (p["size"] - S * S * S) * C))
     return flat
@@ -447,9 +502,13 @@ def _cell_rows_seg(axes, cache, p, C: int, n_rays: int, n_pts: int):
 
     def seg_path(cell_flat):
         seg_id = jnp.cumsum(b, axis=1) - 1  # (n_rays, S)
-        ks = jnp.arange(cap)
-        # first sample of run k = #samples in runs < k
-        cnt_less = jnp.sum((seg_id[:, None, :] < ks[None, :, None]), axis=2)
+        sdt = jnp.uint8 if S <= 255 else jnp.int32
+        ks = jnp.arange(cap, dtype=sdt)
+        # first sample of run k = #samples in runs < k (u8 compare-reduce:
+        # the (n_rays, cap, S) temp at 1/4 the bytes)
+        cnt_less = jnp.sum(
+            (seg_id.astype(sdt)[:, None, :] < ks[None, :, None]).astype(
+                jnp.uint8), axis=2, dtype=jnp.int32)
         start_pos = jnp.clip(cnt_less, 0, S - 1)
         flat_start = (jnp.arange(n_rays)[:, None] * S + start_pos).reshape(-1)
         compact = cache[cell_flat[flat_start]]  # (n_rays*cap, 8C) from HBM
@@ -477,8 +536,9 @@ def _encode_cell_impl(x, table, spec: HashGridSpec, n_rays: int = 0):
     rows_all = []
     for p, view in zip(spec.level_params(), views):
         if p["dense"]:
-            cache = _build_cell_cache(view, p, C)
-            cache_bytes = (p["res"] ** 3) * 8 * C * 4
+            dt = _lvl_dtype(spec, p)
+            cache = _build_cell_cache(view, p, C, dt)
+            cache_bytes = (p["res"] ** 3) * 8 * C * jnp.dtype(dt).itemsize
             if (spec.scatter == "seg" and n_rays > 0
                     and x.shape[0] % n_rays == 0
                     and cache_bytes > _SEG_GATHER_BYTES):
@@ -618,24 +678,32 @@ def _seg_compact(key2d, d_rows2d, cap: int):
     n_runs = jnp.sum(b, axis=1)
     seg_id = jnp.cumsum(b, axis=1) - 1  # (n_rays, S)
 
+    # (A cumsum-difference formulation — plain prefix sum + two row
+    # gathers — measured SLOWER in situ: 45.2 vs 43.5 ms/step, r4 probe.
+    # The segmented scan stays; only the rank-count moved to u8.)
     def comb(a, x):
         av, af = a
         xv, xf = x
         return jnp.where(xf[..., None], xv, av + xv), af | xf
 
     vals, _ = jax.lax.associative_scan(comb, (d_rows2d, b), axis=1)
-    ks = jnp.arange(cap)
+    sdt = jnp.uint8 if S <= 255 else jnp.int32  # seg_id < S must fit
+    ks = jnp.arange(cap, dtype=sdt)
     # index of the last sample of run k = (#samples in runs <= k) - 1
-    cnt = jnp.sum((seg_id[:, None, :] <= ks[None, :, None]), axis=2)
+    # (u8 compare-reduce: the (n_rays, cap, S) temp at 1/4 the bytes)
+    cnt = jnp.sum(
+        (seg_id.astype(sdt)[:, None, :] <= ks[None, :, None]).astype(
+            jnp.uint8), axis=2, dtype=jnp.int32)
     end_pos = jnp.clip(cnt - 1, 0, S - 1)  # (n_rays, cap)
-    slot_valid = (ks[None, :] < n_runs[:, None]).reshape(-1)
+    slot_valid = (jnp.arange(cap)[None, :] < n_runs[:, None]).reshape(-1)
     flat_pos = (jnp.arange(n_rays)[:, None] * S + end_pos).reshape(-1)
     rows = vals.reshape(n_rays * S, F)[flat_pos]
     rows = jnp.where(slot_valid[:, None], rows, 0.0)
     return rows, flat_pos, slot_valid, jnp.max(n_runs) <= cap
 
 
-def _seg_cell_scatter(cell2d, d_rows2d, n_dest_rows: int, cap: int):
+def _seg_cell_scatter(cell2d, d_rows2d, n_dest_rows: int, cap: int,
+                      dest_dtype=None):
     """Segment-dedup scatter-add: samples along a ray are z-ordered, so
     consecutive samples repeat the same cell (~4-24x on the online
     budget's levels).  Pre-sum each equal-cell run with a segmented
@@ -653,18 +721,21 @@ def _seg_cell_scatter(cell2d, d_rows2d, n_dest_rows: int, cap: int):
     """
     n_rays, S = cell2d.shape
     F = d_rows2d.shape[-1]
+    dt = d_rows2d.dtype if dest_dtype is None else dest_dtype
 
     def seg_path(args):
         cell2d, d_rows2d = args
+        # run pre-sum stays f32; only the scattered rows are staged in dt
         rows, flat_pos, slot_valid, _ = _seg_compact(cell2d, d_rows2d, cap)
         cells = jnp.where(slot_valid, cell2d.reshape(-1)[flat_pos], 0)
-        return _cell_cache_scatter(cells.astype(jnp.int32), rows, n_dest_rows)
+        return _cell_cache_scatter(cells.astype(jnp.int32), rows.astype(dt),
+                                   n_dest_rows)
 
     def direct_path(args):
         cell2d, d_rows2d = args
         return _cell_cache_scatter(
             cell2d.reshape(-1).astype(jnp.int32),
-            d_rows2d.reshape(-1, F), n_dest_rows)
+            d_rows2d.reshape(-1, F).astype(dt), n_dest_rows)
 
     if cap >= S:  # dedup cannot overflow; also covers tiny-S test shapes
         return seg_path((cell2d, d_rows2d))
@@ -714,20 +785,29 @@ def _cell_bwd_impl(spec, n_rays, res, g):
                 dxa[k] = dxa[k] + term if c[k] else dxa[k] - term
         if p["dense"]:
             R = p["res"]
+            dt = _lvl_dtype(spec, p)
+            reduce_fn = (_reduce_cell_cache_grad_conv if dt == jnp.bfloat16
+                         else _reduce_cell_cache_grad)
             cell = _cell_of(pgs, R)
             d_rows = jnp.stack(d_cols, axis=-1)  # (N, 8*C) scatter operand
             if spec.scatter == "pallas" and R * R * R <= _PALLAS_FUSE_ROWS:
                 fuse.append((li, p, cell, d_rows))
             elif spec.scatter == "seg" and n_rays > 0:
                 S = x.shape[0] // n_rays
+                # big levels stage the whole compact stream (scan + rows)
+                # in bf16: the segmented scan's combine passes move ~4x the
+                # level's d_rows bytes, and run sums span only ~2-20
+                # samples, so bf16 accumulation stays well inside the
+                # table-grad noise floor
                 d_cache = _seg_cell_scatter(
                     cell.reshape(n_rays, S),
-                    d_rows.reshape(n_rays, S, 8 * C),
+                    d_rows.reshape(n_rays, S, 8 * C).astype(dt),
                     R * R * R, _seg_cap(R, S))
-                d_levels[li] = _reduce_cell_cache_grad(d_cache, p, C)
+                d_levels[li] = reduce_fn(d_cache, p, C)
             else:
-                d_cache = _cell_cache_scatter(cell, d_rows, R * R * R)
-                d_levels[li] = _reduce_cell_cache_grad(d_cache, p, C)
+                d_cache = _cell_cache_scatter(cell, d_rows.astype(dt),
+                                              R * R * R)
+                d_levels[li] = reduce_fn(d_cache, p, C)
         else:
             # hashed level: flat element scatter (window-C scatter_add
             # measured 400x slower — a pathological XLA emitter; element

@@ -178,7 +178,9 @@ def _invert_occupied_cdf(key, occ, t0, dt, n_march: int, n_samples: int,
     # ~log2(M) batched dynamic gathers (~2M random accesses per call at
     # the online budget); with M = n_march small, one fused broadcast
     # compare+reduce is pure VPU work (scripts/bisect_nof.py).
-    k = jnp.sum((cdf[:, None, :] <= s[:, :, None]).astype(jnp.int32), axis=-1)
+    cmp_dt = jnp.uint8 if cdf.shape[-1] <= 255 else jnp.int32
+    k = jnp.sum((cdf[:, None, :] <= s[:, :, None]).astype(cmp_dt), axis=-1,
+                dtype=jnp.int32)
     k = jnp.clip(k, 0, n_march - 1)
     cdf_prev = jnp.where(k > 0, jnp.take_along_axis(cdf, jnp.maximum(k - 1, 0), axis=-1), 0.0)
     t_step_start = t0[:, None] + k.astype(jnp.float32) * dt[:, None]

@@ -291,8 +291,10 @@ class TestSegScatter:
         dx0, dt0 = self._grad(spec_x, x, table, g, n_rays)
         dx1, dt1 = self._grad(spec_s, x, table, g, n_rays)
         np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
+        # seg run sums are differences of a prefix sum (_seg_compact):
+        # same addend sets as the direct scatter, f32 association differs
         np.testing.assert_allclose(np.asarray(dt0), np.asarray(dt1),
-                                   rtol=1e-4, atol=1e-7)
+                                   rtol=1e-4, atol=1e-6)
         # forward identical regardless of scatter mode
         out_x = hg.encode(x, table, spec_x, n_rays=n_rays)
         out_s = hg.encode(x, table, spec_s, n_rays=n_rays)
@@ -366,5 +368,83 @@ class TestSegScatter:
         dx0, dt0 = self._grad(spec_x, x, table, g, n_rays)
         dx1, dt1 = self._grad(spec_s, x, table, g, n_rays)
         np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
+        # seg run sums are differences of a prefix sum (_seg_compact):
+        # same addend sets as the direct scatter, f32 association differs
         np.testing.assert_allclose(np.asarray(dt0), np.asarray(dt1),
-                                   rtol=1e-4, atol=1e-7)
+                                   rtol=1e-4, atol=1e-6)
+
+
+class TestBf16Staging:
+    """spec.big_dtype='bfloat16': big dense levels stage their corner cache
+    / grad cache in bf16 with an f32 table and a one-pass conv reduce.
+    Small shapes here force the threshold down via monkeypatching."""
+
+    def _specs(self):
+        spec = hashgrid.HashGridSpec(2, 2, 8, 16, 22, layout="cell")
+        return spec, spec._replace(big_dtype="bfloat16")
+
+    def test_conv_reduce_matches_padadd(self, monkeypatch):
+        """The conv formulation is the same linear map as the strided
+        pad-add reduce (exact in f32; one-hot weights)."""
+        spec = hashgrid.HashGridSpec(1, 2, 8, 8, 22)
+        p = spec.level_params()[0]
+        R = p["res"]
+        rng = np.random.default_rng(0)
+        d_cache = jnp.asarray(
+            rng.standard_normal((R ** 3, 16)).astype(np.float32))
+        ref = np.asarray(hashgrid._reduce_cell_cache_grad(d_cache, p, 2))
+        conv = np.asarray(hashgrid._reduce_cell_cache_grad_conv(d_cache, p, 2))
+        np.testing.assert_allclose(conv, ref, rtol=0, atol=1e-5)
+
+    def test_bf16_encode_close_to_f32(self, monkeypatch):
+        monkeypatch.setattr(hashgrid, "_BIG_CACHE_CELLS", 1)
+        spec, bspec = self._specs()
+        tab = hashgrid.init_table(jax.random.PRNGKey(0), spec) * 1000
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                               minval=-1.0, maxval=1.0)
+        f = np.asarray(hashgrid.hash_encode_cell(x, tab, spec))
+        b = np.asarray(hashgrid.hash_encode_cell(x, tab, bspec))
+        scale = max(np.abs(f).max(), 1e-6)
+        np.testing.assert_allclose(b, f, rtol=0, atol=scale * 1.5 / 256)
+
+    def test_bf16_grads_close_and_table_f32(self, monkeypatch):
+        monkeypatch.setattr(hashgrid, "_BIG_CACHE_CELLS", 1)
+        spec, bspec = self._specs()
+        tab = hashgrid.init_table(jax.random.PRNGKey(0), spec) * 1000
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                               minval=-0.9, maxval=0.9)
+
+        def loss(s):
+            return lambda xx, t: jnp.sum(
+                jnp.sin(hashgrid.hash_encode_cell(xx, t, s)))
+
+        gf = jax.grad(loss(spec), argnums=(0, 1))(x, tab)
+        gb = jax.grad(loss(bspec), argnums=(0, 1))(x, tab)
+        assert gb[1].dtype == jnp.float32  # d_table stays f32
+        for a, b in zip(gb, gf):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-6)
+            np.testing.assert_allclose(a, b, rtol=0, atol=scale * 2.5 / 256)
+
+    def test_bf16_seg_rays_path(self, monkeypatch):
+        monkeypatch.setattr(hashgrid, "_BIG_CACHE_CELLS", 1)
+        spec, bspec = self._specs()
+        bspec = bspec._replace(scatter="seg")
+        spec = spec._replace(scatter="seg")
+        tab = hashgrid.init_table(jax.random.PRNGKey(0), spec) * 1000
+        n_rays, S = 8, 16
+        # z-ordered samples along rays
+        o = jax.random.uniform(jax.random.PRNGKey(2), (n_rays, 1, 3),
+                               minval=-0.5, maxval=0.0)
+        d = jax.random.uniform(jax.random.PRNGKey(3), (n_rays, 1, 3),
+                               minval=0.0, maxval=0.05)
+        x = (o + d * jnp.arange(S)[None, :, None]).reshape(-1, 3)
+
+        def loss(s):
+            return lambda t: jnp.sum(
+                jnp.sin(hashgrid.hash_encode_cell_rays(x, t, s, n_rays)))
+
+        gf = np.asarray(jax.grad(loss(spec))(tab))
+        gb = np.asarray(jax.grad(loss(bspec))(tab), dtype=np.float32)
+        scale = max(np.abs(gf).max(), 1e-6)
+        np.testing.assert_allclose(gb, gf, rtol=0, atol=scale * 2.5 / 256)

@@ -184,8 +184,143 @@ def _bench_e2e():
     return fps, N_FRAMES
 
 
+def _bench_programs():
+    """Per-program {time, floor, frac} for the other hot programs
+    (VERDICT r3 #7): the fused correspondence program at both pair-batch
+    buckets and the BA program at the reference budget.
+
+    Floors: transport floor = measured dispatch RTT + packed call/readback
+    bytes at the measured tunnel bandwidth (the irreducible per-call cost
+    on this deployment); mfu = analytic model FLOPs / (time x 49.2 TF/s
+    f32 MXU peak) — honest context for 'is the compute itself fast'."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from synthetic_hard import render_blob_rgbd
+    from scipy.spatial.transform import Rotation
+    from bundlesdf_tpu.config import ycbineoat_track_config
+    from bundlesdf_tpu.tracking.frame import Frame
+    from bundlesdf_tpu.tracking import corres as corres_mod
+    from bundlesdf_tpu.tracking import ba as ba_mod
+
+    out = {}
+    # dispatch RTT (fenced null program)
+    one = jnp.float32(1.0)
+    f = jax.jit(lambda v: v + 1.0)
+    float(f(one))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(f(one))
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+    out["dispatch_rtt_ms"] = round(rtt_ms, 1)
+
+    # ---- fused correspondence program
+    cfg = ycbineoat_track_config()
+    cfg["depth_processing"]["zfar"] = 1.0
+    H = W = 480
+    K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    frames = []
+    axis = np.array([0, 1, 0.2]); axis = axis / np.linalg.norm(axis)
+    for k in range(3):
+        R = Rotation.from_rotvec(axis * np.deg2rad(5.0 * k)).as_matrix()
+        T = np.eye(4); T[:3, :3] = R; T[:3, 3] = [0, 0, 0.55]
+        rgb, depth, mask = render_blob_rgbd(T, K, H, W)
+        fr = Frame(rgb, depth, K, id=k, id_str=f"{k:05d}", cfg=cfg,
+                   fg_mask=mask > 0)
+        fr.pose_in_model = np.linalg.inv(T).astype(np.float32)
+        frames.append(fr)
+    store = corres_mod.CorresStore(cfg)
+    key = jax.random.PRNGKey(0)
+    M = store.max_matches
+    T_trials = int(cfg["ransac"]["max_iter"])
+    flops_pair = 512 * 256 * 512 * 2 + T_trials * M * (16 + 9) * 2
+    for label, pairs in (
+        ("fused_corres_p1", [(frames[1], frames[0])]),
+        ("fused_corres_p16", [(frames[i], frames[j])
+                              for i in range(3) for j in range(i)]),
+    ):
+        store.raw.clear()
+        corres_mod.find_corres(store, pairs, cfg, key=key)  # compile
+        t0 = time.perf_counter()
+        reps = 6
+        for _ in range(reps):
+            store.raw.clear()
+            corres_mod.find_corres(store, pairs, cfg, key=key)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        P = 1 if len(pairs) == 1 else int(
+            cfg["feature_corres"].get("pair_batch", 16))
+        bytes_call = P * (56 + 4 * 128) * 4 + P * (M + 3) * 8 * 4
+        floor = rtt_ms + bytes_call / 25e3  # ~25 MB/s tunnel => ms
+        out[label] = {
+            "ms": round(ms, 1), "transport_floor_ms": round(floor, 1),
+            "frac": round(floor / ms, 3),
+            "mfu_f32": round(P * flops_pair / (ms / 1e3) / 49.2e12, 5),
+        }
+
+    # ---- BA program at the reference budget (10 frames, 7 GN iters,
+    # dense term at 1/4 res)
+    rng = np.random.default_rng(0)
+    N = 10
+    E = N * 512
+    h, w = 120, 160
+    poses = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (N, 1, 1)))
+    fixed = jnp.zeros((N,), bool).at[0].set(True)
+    ii = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
+    jjj = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
+    pts = rng.uniform(-0.1, 0.1, (E, 3)).astype(np.float32)
+    pi = jnp.asarray(pts)
+    pj = jnp.asarray(pts + rng.normal(0, 0.002, (E, 3)).astype(np.float32))
+    cval = jnp.ones((E,), bool)
+    pair_i = jnp.asarray(np.arange(N - 1, dtype=np.int32))
+    pair_j = jnp.asarray(np.arange(1, N, dtype=np.int32))
+    pval = jnp.ones((N - 1,), bool)
+    xyz = jnp.asarray(rng.uniform(-0.2, 0.2, (N, h, w, 3)).astype(np.float32))
+    nrm = jnp.asarray(np.broadcast_to(
+        np.array([0, 0, 1], np.float32), (N, h, w, 3)).copy())
+    vds = jnp.ones((N, h, w), bool)
+    K_ds = jnp.asarray(K / 4.0)
+    params = ba_mod.BAParams()
+    ba = jax.jit(partial_ba(ba_mod, params, N))
+    r = ba(poses, fixed, ii, jjj, pi, pj, cval, pair_i, pair_j, pval,
+           xyz, nrm, vds, K_ds)
+    float(jnp.sum(r[0]))
+    t0 = time.perf_counter()
+    reps = 6
+    for _ in range(reps):
+        r = ba(poses, fixed, ii, jjj, pi, pj, cval, pair_i, pair_j, pval,
+               xyz, nrm, vds, K_ds)
+    float(jnp.sum(r[0]))
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    it = params.num_iter_outer
+    ba_flops = it * (E * 400 + (N - 1) * h * w * 300 + N * 6 * 6 * (E + (N - 1) * h * w) // N)
+    out["ba_10f_7gn"] = {
+        "ms": round(ms, 1),
+        "transport_floor_ms": round(rtt_ms, 1),
+        "frac": round(rtt_ms / ms, 3),
+        "mfu_f32": round(ba_flops / (ms / 1e3) / 49.2e12, 5),
+    }
+    return out
+
+
+def partial_ba(ba_mod, params, N):
+    def f(poses, fixed, ii, jj, pi, pj, cval, pair_i, pair_j, pval,
+          xyz, nrm, vds, K_ds):
+        return ba_mod.bundle_adjust(
+            poses, fixed, ii, jj, pi, pj, cval, pair_i, pair_j, pval,
+            xyz, nrm, vds, K_ds, params=params, n_frames=N)
+    return f
+
+
 def run_bench():
     steps_per_s, step_ms, floor_ms, backend = _bench_steps()
+    try:
+        programs = _bench_programs()
+    except Exception as e:  # auxiliary section must never kill the headline
+        programs = {"error": str(e)[:300]}
     try:
         e2e_fps, e2e_frames = _bench_e2e()
     except Exception as e:  # e2e must never kill the headline metric
@@ -201,6 +336,7 @@ def run_bench():
         "step_ms": round(step_ms, 2),
         "access_floor_ms": round(floor_ms, 2),
         "roofline_frac": round(floor_ms / step_ms, 3),
+        "programs": programs,
         "e2e_fps": (round(e2e_fps, 4) if isinstance(e2e_fps, float) else e2e_fps),
         "e2e_frames": e2e_frames,
     }))

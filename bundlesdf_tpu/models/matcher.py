@@ -88,7 +88,12 @@ def _top_corners(resp: jnp.ndarray, cfg: CornerMatcherCfg):
 
 
 def _descriptors(img: jnp.ndarray, corners: jnp.ndarray, patch: int):
-    """ZNCC descriptors: (K, (2p)^2), zero-mean unit-norm patches."""
+    """ZNCC descriptors: (K, (2p)^2), zero-mean unit-norm patches.
+
+    Element gathers: per-row (2p,)-window and full (2p,2p)-slice gather
+    variants both measured SLOWER in the fused program on the tunneled
+    backend (r4 probes, see BASELINE.md) — image-space window gathers do
+    not amortize the way the hash table's (C,)-windows do."""
     p = patch
     offs = jnp.stack(
         jnp.meshgrid(jnp.arange(-p, p), jnp.arange(-p, p), indexing="ij"), axis=-1

@@ -71,6 +71,11 @@ def _warp_crop(img: jnp.ndarray, tf_inv: jnp.ndarray, out_size: int) -> jnp.ndar
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # Element taps.  Both batched-window alternatives measured SLOWER on
+    # this backend (r4 probes): a 2-D (2,2)-slice gather 380 ms -> 13 s
+    # per P16 call, and per-row 1-D (2,)-window gathers 380 -> 566 ms —
+    # unlike the hash-table's (C,)-window gathers, image-warp windows do
+    # not amortize here.
     def tap(yi, xi):
         inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
         yc = jnp.clip(yi, 0, H - 1)

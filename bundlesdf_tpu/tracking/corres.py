@@ -342,12 +342,18 @@ def _find_corres_fused(store, pairs, cfg, matcher_cfg, key):
                                      else rcfg["max_rot_no_neighbor"]),
             })
 
-    # batch-size bucketing {1, pair_batch, pow2} — one compiled program per
-    # bucket (see the legacy path's rationale)
+    # batch-size bucketing {1, pair_batch/2, pair_batch, pow2} — one
+    # compiled program per bucket (see the legacy path's rationale).  The
+    # half bucket exists because BA match batches are usually <=
+    # max_BA_frames-1 = 9 pairs: padding them to 16 doubles the dominant
+    # warp-gather work per call (~190 ms at the r4 gather rate).
     n = len(pairs_data)
     fixed = int(fc.get("pair_batch", 16))
+    half = fixed // 2
     if n == 1:
         P = 1
+    elif half >= 2 and n <= half:
+        P = half
     elif n <= fixed:
         P = fixed
     else:

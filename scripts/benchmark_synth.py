@@ -50,6 +50,10 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
         cfg_track["feature_corres"]["loftr_ckpt"] = loftr_ckpt
     cfg_track["depth_processing"]["zfar"] = 1.0
     cfg_track["debug_dir"] = out_folder
+    # dump the full artifact trail (color_segmented/depth_filtered/mask):
+    # --global_refine restarts from it alone (the reference's
+    # output-directory-is-the-checkpoint contract, run_custom debug>=2)
+    cfg_track["SPDLOG"] = max(2, int(cfg_track.get("SPDLOG", 1)))
     cfg_nof = default_nof_config()
     cfg_nof["save_dir"] = out_folder
     if sync_max_delay is not None:

@@ -448,3 +448,21 @@ class TestBf16Staging:
         gb = np.asarray(jax.grad(loss(bspec))(tab), dtype=np.float32)
         scale = max(np.abs(gf).max(), 1e-6)
         np.testing.assert_allclose(gb, gf, rtol=0, atol=scale * 2.5 / 256)
+
+
+def test_pallas_reduce_matches_conv_reduce():
+    """reduce_pallas (matmul-shift plane kernel) == the conv reduce, exactly
+    (both accumulate bf16-staged values in f32; CPU interpret mode)."""
+    from bundlesdf_tpu.ops.reduce_pallas import reduce_cell_cache_grad_pallas
+
+    spec = hashgrid.HashGridSpec(1, 2, 8, 8, 22)
+    p = spec.level_params()[0]
+    R = p["res"]
+    rng = np.random.default_rng(3)
+    dc = jnp.asarray(
+        rng.standard_normal((R ** 3, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ref = np.asarray(hashgrid._reduce_cell_cache_grad_conv(dc, p, 2))
+    out = np.asarray(reduce_cell_cache_grad_pallas(dc, R, 2, interpret=True))
+    out = np.pad(out, (0, len(ref) - len(out)))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)

@@ -230,6 +230,11 @@ def default_nof_config() -> Cfg:
             # HashGridSpec.big_dtype).  Halves the step's dominant HBM
             # traffic; quality re-validated in EVAL_synth.json (r4).
             "hash_big_dtype": "bfloat16",
+            # cache-grad reduce for the bf16-staged big levels:
+            # auto resolves to the pallas plane-sweep kernel on a
+            # single-device TPU (ops/reduce_pallas.py, 2.4x the conv
+            # reduce at lv3) and to 'conv' under GSPMD or on CPU.
+            "hash_reduce": "auto",
             "n_train_image": 300,
             "use_octree": 1,
             "first_frame_weight": 10.0,

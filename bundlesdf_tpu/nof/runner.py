@@ -339,6 +339,10 @@ class NofRunner:
                 max(1, int(cfg.get("dp_devices", 0) or 0)),
             ),
             big_dtype=str(cfg.get("hash_big_dtype", "float32")),
+            reduce=hashgrid.resolve_reduce(
+                str(cfg.get("hash_reduce", "auto")),
+                max(1, int(cfg.get("dp_devices", 0) or 0)),
+            ),
         )
         self.spec = nof_model.NofSpec(
             grid=grid_spec,

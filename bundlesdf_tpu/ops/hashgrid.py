@@ -57,6 +57,12 @@ class HashGridSpec(NamedTuple):
     # (mixed precision; the r3 cost model showed the step is ~100%
     # bandwidth on exactly these arrays).  "float32" = exact (default).
     big_dtype: str = "float32"
+    # Cache-grad reduce for bf16-staged big dense levels: "conv" = the
+    # one-hot 2x2x2 conv (portable, GSPMD-shardable); "pallas" = the
+    # plane-sweep matmul-shift kernel (ops/reduce_pallas.py) — one pass
+    # over the cache, 11.4 -> 4.7 ms at lv3 on v5e, differs from conv
+    # only by f32 summation order (<=1 ulp).  Use resolve_reduce().
+    reduce: str = "conv"
 
     @property
     def per_level_scale(self) -> float:
@@ -786,8 +792,12 @@ def _cell_bwd_impl(spec, n_rays, res, g):
         if p["dense"]:
             R = p["res"]
             dt = _lvl_dtype(spec, p)
-            reduce_fn = (_reduce_cell_cache_grad_conv if dt == jnp.bfloat16
-                         else _reduce_cell_cache_grad)
+            if dt == jnp.bfloat16 and spec.reduce == "pallas":
+                reduce_fn = _reduce_cell_cache_grad_pallas_wrap
+            elif dt == jnp.bfloat16:
+                reduce_fn = _reduce_cell_cache_grad_conv
+            else:
+                reduce_fn = _reduce_cell_cache_grad
             cell = _cell_of(pgs, R)
             d_rows = jnp.stack(d_cols, axis=-1)  # (N, 8*C) scatter operand
             if spec.scatter == "pallas" and R * R * R <= _PALLAS_FUSE_ROWS:
@@ -905,6 +915,42 @@ def _hash_encode_cell_rays_bwd(spec, n_rays, res, g):
 
 hash_encode_cell_rays.defvjp(_hash_encode_cell_rays_fwd,
                              _hash_encode_cell_rays_bwd)
+
+
+def _reduce_cell_cache_grad_pallas_wrap(d_cache, p, C: int):
+    """Pallas plane-sweep reduce (ops/reduce_pallas.py) with the same
+    output contract as the conv reduce: flat (size*C,) f32, channel-
+    interleaved.  Differs from conv only by f32 summation order."""
+    from .reduce_pallas import reduce_cell_cache_grad_pallas
+
+    S = p["res"] + 1
+    flat = reduce_cell_cache_grad_pallas(d_cache, R=p["res"], C=C)
+    if S * S * S < p["size"]:
+        flat = jnp.pad(flat, (0, (p["size"] - S * S * S) * C))
+    return flat
+
+
+def resolve_reduce(pref: str = "auto", dp_devices: int = 1) -> str:
+    """Resolve the spec.reduce knob (bf16 big-level cache-grad reduce).
+
+    "auto" = "pallas" on a single-device TPU backend (one pass over the
+    cache, 2.4x the conv reduce at lv3), "conv" otherwise: the pallas
+    custom call cannot be GSPMD-partitioned, and on CPU the Mosaic
+    kernel does not lower."""
+    if pref != "auto":
+        if pref == "pallas" and dp_devices > 1:
+            import warnings
+
+            warnings.warn(
+                "hash_reduce='pallas' cannot be GSPMD-partitioned; forcing "
+                f"'conv' for dp_devices={dp_devices}", stacklevel=2)
+            return "conv"
+        return pref
+    if dp_devices > 1:
+        return "conv"
+    import jax as _jax
+
+    return "pallas" if _jax.default_backend() == "tpu" else "conv"
 
 
 def resolve_scatter(pref: str = "auto", dp_devices: int = 1) -> str:

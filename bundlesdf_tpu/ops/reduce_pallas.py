@@ -8,18 +8,21 @@ at offset c.  In XLA every extracted column costs a full pass over the
 cache (the r3/r4 cost model: 16 passes x 67-134 MB at lv3); the best XLA
 formulation found (one-hot 2x2x2 conv) still measures ~9 ms in situ.
 
-This kernel reads each input plane ONCE and emits the reduced output
-plane directly:
+This kernel reads each input x-plane ONCE and emits the reduced output
+plane directly.  Layout is the whole trick on TPU:
 
-  grid over gx (S steps).  Output plane gx receives contributions from
-  input planes px = gx (corners with c0 = 0) and px = gx-1 (c0 = 1).
-  In-plane (y, z) shifts are MATMULS with one-hot shift matrices
-  (S,R) @ (R,R) @ (R,S) on the MXU — Mosaic rejects pad/concat with
-  sublane offsets, but shift-by-matmul is exact in f32 and fast.
-
-Input bf16 (the staged grad cache), output f32 (the table cotangent) —
-mirrors _reduce_cell_cache_grad_conv numerics (f32 accumulation of
-bf16-staged values).
+  * The cache is viewed as (R, R, R*8C) so a plane block is (R, R*8C) —
+    lane dim a multiple of 128, NO tile padding.  (The naive (R, R, 8C)
+    block pads lanes 16 -> 128 and VMEM-OOMs at R=128.)
+  * Column extraction from the packed lane dim, the z-shift, and the
+    corner/channel de-interleave are ONE 2-hot right matmul
+    (R*8C, S*C); the y-shift is a one-hot left matmul (S, R).  Both ride
+    the bf16 MXU with f32 accumulation — every output element is a sum
+    of at most 8 bf16-valued terms accumulated in f32, matching
+    _reduce_cell_cache_grad_conv numerics exactly.
+  * Grid over gx (S steps).  Output plane gx receives contributions from
+    input planes px = gx (corners with c0 = 0) and px = gx - 1 (c0 = 1);
+    block index maps clamp and scalar masks zero the out-of-range plane.
 """
 from __future__ import annotations
 
@@ -39,31 +42,52 @@ def _shift_mat(S: int, R: int, off: int, dtype=jnp.float32):
     return (i == j + off).astype(dtype)
 
 
+def _zshift_mat(R: int, C: int, c0: int, c1: int, cpos, dtype=jnp.bfloat16):
+    """(R*8C, S*C) 2-hot: F[k, gz*C + ch] = 1 iff the packed-plane element
+    k = z*8C + ci*C + ch (corner ci = (c0, c1, c2), either c2) lands in
+    output column (gz, ch), i.e. k == (gz - c2)*8C + ci*C + ch.
+
+    gz - c2 in [0, R-1] holds automatically because k // 8C < R.
+    """
+    S = R + 1
+    F = 8 * C
+    k = jax.lax.broadcasted_iota(jnp.int32, (R * F, S * C), 0)
+    o = jax.lax.broadcasted_iota(jnp.int32, (R * F, S * C), 1)
+    gz = o // C
+    ch = o % C
+    acc = jnp.zeros((R * F, S * C), dtype)
+    for c2 in (0, 1):
+        ci = cpos[(c0, c1, c2)]
+        acc = acc + (k == (gz - c2) * F + ci * C + ch).astype(dtype)
+    return acc
+
+
 def _make_kernel(R: int, C: int):
     S = R + 1
-    # corner index lookup: (c0, c1, c2) -> position in _CORNERS
     cpos = {tuple(int(v) for v in c): i for i, c in enumerate(_CORNERS)}
 
-    def kernel(a_ref, b_ref, *out_refs):
+    def kernel(a_ref, b_ref, out_ref):
         gx = pl.program_id(0)
         a_ok = jnp.where(gx < R, 1.0, 0.0)      # plane px = gx exists
         b_ok = jnp.where(gx > 0, 1.0, 0.0)      # plane px = gx - 1 exists
-        sy = [_shift_mat(S, R, 0), _shift_mat(S, R, 1)]
-        for ch in range(C):
-            acc = jnp.zeros((S, S), jnp.float32)
-            for c0, src, ok in ((0, a_ref, a_ok), (1, b_ref, b_ok)):
-                for c1 in (0, 1):
-                    for c2 in (0, 1):
-                        ci = cpos[(c0, c1, c2)]
-                        col = src[0, :, :, ci * C + ch].astype(jnp.float32)
-                        m1 = jax.lax.dot_general(
-                            sy[c1], col, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        m2 = jax.lax.dot_general(
-                            m1, sy[c2], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        acc = acc + m2 * ok
-            out_refs[ch][0] = acc
+        acc = jnp.zeros((S, S * C), jnp.float32)
+        for c0, src, ok in ((0, a_ref, a_ok), (1, b_ref, b_ok)):
+            plane = src[0]                       # (R, R*8C) bf16
+            for c1 in (0, 1):
+                # y-shift: (S, R) @ (R, R*8C); one term per output, so the
+                # f32 result is bf16-valued and the downcast is exact
+                # (Mosaic requires a 32-bit matmul accumulator).
+                m = jax.lax.dot_general(
+                    _shift_mat(S, R, c1, jnp.bfloat16), plane,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                # extract + z-shift + de-interleave: 2-hot right matmul,
+                # f32 accumulation of bf16-valued terms (exact).
+                fz = _zshift_mat(R, C, c0, c1, cpos)
+                acc = acc + jax.lax.dot_general(
+                    m, fz, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * ok
+        out_ref[0] = acc
 
     return kernel, S
 
@@ -74,22 +98,20 @@ def reduce_cell_cache_grad_pallas(d_cache, R: int, C: int,
     """(R^3, 8*C) grad cache -> (S^3 * C,) flat table cotangent (f32)."""
     S = R + 1
     kernel, _ = _make_kernel(R, C)
-    x = d_cache.reshape(R, R, R, 8 * C)
-    outs = pl.pallas_call(
+    x = d_cache.reshape(R, R, R * 8 * C).astype(jnp.bfloat16)
+    out = pl.pallas_call(
         kernel,
         grid=(S,),
         in_specs=[
             # plane px = gx (clamped; masked in-kernel at gx == R)
-            pl.BlockSpec((1, R, R, 8 * C), lambda gx: (jnp.minimum(gx, R - 1), 0, 0, 0)),
+            pl.BlockSpec((1, R, R * 8 * C),
+                         lambda gx: (jnp.minimum(gx, R - 1), 0, 0)),
             # plane px = gx - 1 (clamped; masked at gx == 0)
-            pl.BlockSpec((1, R, R, 8 * C), lambda gx: (jnp.maximum(gx - 1, 0), 0, 0, 0)),
+            pl.BlockSpec((1, R, R * 8 * C),
+                         lambda gx: (jnp.maximum(gx - 1, 0), 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, S, S), lambda gx: (gx, 0, 0)) for _ in range(C)
-        ],
-        out_shape=[jax.ShapeDtypeStruct((S, S, S), jnp.float32)
-                   for _ in range(C)],
+        out_specs=pl.BlockSpec((1, S, S * C), lambda gx: (gx, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, S, S * C), jnp.float32),
         interpret=interpret,
     )(x, x)
-    flat = jnp.stack(outs, axis=-1).reshape(-1)
-    return flat
+    return out.reshape(-1)

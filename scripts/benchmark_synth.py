@@ -60,6 +60,9 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
         cfg_nof["sync_max_delay"] = int(sync_max_delay)
     if n_step_extend is not None:
         cfg_nof["n_step_extend"] = int(n_step_extend)
+    # A/B isolation knob for the cache-grad reduce engine (auto|conv|pallas).
+    if os.environ.get("BSL_HASH_REDUCE"):
+        cfg_nof["hash_reduce"] = os.environ["BSL_HASH_REDUCE"]
     import math
 
     n_video = len(os.listdir(os.path.join(video_dir, "rgb")))

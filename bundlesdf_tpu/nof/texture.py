@@ -79,6 +79,177 @@ def vertex_colors_from_field(
 
 
 # ---------------------------------------------------------------- UV bake
+def _charted_atlas(vertices, faces, face_normals, tex_size: int,
+                   cos_thresh: float = 0.7, gutter: int = 2):
+    """xatlas-style compact unwrap (reference nerf_runner.py:1467-1541 uses
+    xatlas via trimesh; unavailable here, re-implemented from scratch):
+
+    1. greedy chart growth over the face-adjacency graph, admitting a
+       neighbor when its normal stays within ``cos_thresh`` of the chart's
+       area-weighted normal (keeps the planar projection near-injective);
+    2. per-chart planar parameterization in the chart normal's tangent
+       basis;
+    3. global texel density chosen from total chart area, shelf-packing of
+       chart rectangles (sorted by height) with a ``gutter`` texel border,
+       density backoff until everything fits;
+    4. vectorized texel rasterization per chart (half-plane barycentrics,
+       tolerant edge band against seam cracks) + one dilation pass into the
+       background to pad seams.
+
+    Returns the same triple as _triangle_atlas: (uv (F, 3, 2) in [0, 1],
+    face_of (T, T) int32 -1, bary_of (T, T, 3) float32).  Unlike the
+    per-face atlas, texels are spent proportionally to surface area and
+    chart interiors are seam-free.
+    """
+    F = len(faces)
+    # ---- adjacency from shared edges
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    owner = np.tile(np.arange(F), 3)
+    order = np.lexsort((e[:, 1], e[:, 0]))
+    es, os_ = e[order], owner[order]
+    same = np.all(es[1:] == es[:-1], axis=1)
+    nbr = [[] for _ in range(F)]
+    for a, b in zip(os_[:-1][same], os_[1:][same]):
+        nbr[a].append(b)
+        nbr[b].append(a)
+
+    tri = vertices[faces]                                  # (F, 3, 3)
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+
+    # ---- greedy chart growth.  BFS (deque) keeps charts round — a DFS
+    # frontier grows stringy charts whose bounding rects pack terribly.
+    from collections import deque
+
+    max_chart = max(64, F // 16)
+    chart_of = np.full(F, -1, np.int64)
+    charts = []
+    for seed in np.argsort(-area):                         # big faces seed
+        if chart_of[seed] >= 0:
+            continue
+        cid = len(charts)
+        chart_of[seed] = cid
+        members = [seed]
+        n_acc = face_normals[seed] * area[seed]
+        frontier = deque(nbr[seed])
+        while frontier and len(members) < max_chart:
+            f = frontier.popleft()
+            if chart_of[f] >= 0:
+                continue
+            cn = n_acc / max(np.linalg.norm(n_acc), 1e-12)
+            if float(face_normals[f] @ cn) < cos_thresh:
+                continue
+            chart_of[f] = cid
+            members.append(f)
+            n_acc = n_acc + face_normals[f] * area[f]
+            frontier.extend(nbr[f])
+        charts.append(np.asarray(members))
+
+    # ---- per-chart planar parameterization
+    uv3 = np.zeros((F, 3, 2))
+    sizes = np.zeros((len(charts), 2))
+    for cid, members in enumerate(charts):
+        n = (face_normals[members] * area[members, None]).sum(0)
+        n = n / max(np.linalg.norm(n), 1e-12)
+        t1 = np.cross(n, [0.0, 0.0, 1.0])
+        if np.linalg.norm(t1) < 1e-6:
+            t1 = np.cross(n, [0.0, 1.0, 0.0])
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(n, t1)
+        p = tri[members] @ np.stack([t1, t2], axis=1)      # (m, 3, 2)
+        lo = p.reshape(-1, 2).min(0)
+        uv3[members] = p - lo
+        sizes[cid] = p.reshape(-1, 2).max(0) - lo
+
+    # ---- density + shelf packing: back off until it fits, then grow the
+    # density greedily so the atlas is as full as the packer allows
+    def _try_pack(density):
+        w = np.ceil(sizes[:, 0] * density).astype(np.int64) + 2 * gutter + 1
+        h = np.ceil(sizes[:, 1] * density).astype(np.int64) + 2 * gutter + 1
+        if w.max(initial=0) > tex_size or h.max(initial=0) > tex_size:
+            return None
+        order = np.argsort(-h)
+        offs = np.zeros((len(charts), 2), np.int64)
+        x = y = shelf_h = 0
+        for cid in order:
+            if x + w[cid] > tex_size:                      # new shelf
+                y += shelf_h
+                x = shelf_h = 0
+            if y + h[cid] > tex_size:
+                return None
+            offs[cid] = (x, y)
+            x += w[cid]
+            shelf_h = max(shelf_h, int(h[cid]))
+        return offs
+
+    total_area = float(area.sum())
+    density = 0.9 * tex_size / max(np.sqrt(total_area), 1e-12)
+    offs = _try_pack(density)
+    for _ in range(20):
+        if offs is not None:
+            break
+        density *= 0.8
+        offs = _try_pack(density)
+    else:
+        raise ValueError("charted atlas: packing failed")
+    for _ in range(16):
+        trial = _try_pack(density * 1.12)
+        if trial is None:
+            break
+        density *= 1.12
+        offs = trial
+
+    uv = np.zeros((F, 3, 2))
+    for cid, members in enumerate(charts):
+        uv[members] = uv3[members] * density + offs[cid] + gutter
+
+    # ---- rasterize texels (vectorized per face over its bbox)
+    face_of = np.full((tex_size, tex_size), -1, np.int32)
+    bary_of = np.zeros((tex_size, tex_size, 3), np.float32)
+    for f in range(F):
+        (ax, ay), (bx, by), (cx, cy) = uv[f]
+        x0 = max(int(np.floor(min(ax, bx, cx))) - 1, 0)
+        x1 = min(int(np.ceil(max(ax, bx, cx))) + 1, tex_size - 1)
+        y0 = max(int(np.floor(min(ay, by, cy))) - 1, 0)
+        y1 = min(int(np.ceil(max(ay, by, cy))) + 1, tex_size - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        px, py = np.meshgrid(np.arange(x0, x1 + 1) + 0.0,
+                             np.arange(y0, y1 + 1) + 0.0)
+        d = (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
+        if abs(d) < 1e-12:
+            continue
+        w0 = ((bx - px) * (cy - py) - (cx - px) * (by - py)) / d
+        w1 = ((cx - px) * (ay - py) - (ax - px) * (cy - py)) / d
+        w2 = 1.0 - w0 - w1
+        # tolerant band (~half texel) closes seam cracks between faces
+        eps = -0.5 / max(abs(bx - ax) + abs(by - ay), 1.0)
+        inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
+        strict = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        ys, xs = np.nonzero(inside & (strict | (face_of[y0:y1 + 1,
+                                                        x0:x1 + 1] < 0)))
+        if not len(ys):
+            continue
+        w = np.clip(np.stack([w0[ys, xs], w1[ys, xs], w2[ys, xs]], -1),
+                    0, None)
+        w /= np.maximum(w.sum(-1, keepdims=True), 1e-9)
+        face_of[y0 + ys, x0 + xs] = f
+        bary_of[y0 + ys, x0 + xs] = w.astype(np.float32)
+
+    # ---- one dilation pass pads chart borders into the gutter
+    empty = face_of < 0
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        src_f = np.roll(face_of, (dy, dx), (0, 1))
+        src_b = np.roll(bary_of, (dy, dx), (0, 1))
+        take = empty & (src_f >= 0)
+        face_of[take] = src_f[take]
+        bary_of[take] = src_b[take]
+        empty = face_of < 0
+
+    return uv / tex_size, face_of, bary_of
+
+
 def _triangle_atlas(n_faces: int, tex_size: int, cell: int):
     """Trivial per-face UV atlas: two right triangles per cell x cell texel
     square (replaces xatlas unwrap — lower quality seams, zero deps).
@@ -142,11 +313,14 @@ def bake_texture_from_train_images(
     K: np.ndarray,
     tex_size: int = 1024,
     depth_tol: float = 0.01,
+    atlas: str = "charted",
 ):
     """Full UV texture atlas baked from training views (reference
     mesh_texture_from_train_images nerf_runner.py:1467-1541: xatlas unwrap
     + pyrender depth rasterize + rayColorToTextureImageCUDA barycentric
-    bake -> weighted texel average).  Here: trivial per-face atlas +
+    bake -> weighted texel average).  Here: a from-scratch charted unwrap
+    (``atlas="charted"``, xatlas-equivalent compact packing) or the
+    per-face triangle atlas (``atlas="triangle"``, zero-failure fallback) +
     native C++ z-buffer rasterizer for occlusion + vectorized texel bake.
 
     Returns (mesh_with_uv, texture (T, T, 3) uint8).  mesh gains
@@ -155,15 +329,24 @@ def bake_texture_from_train_images(
     from .. import native
 
     F = len(mesh.faces)
-    cell = max(4, int(np.floor(tex_size / np.ceil(np.sqrt(np.ceil(F / 2))))))
-    cell = min(cell, 64)
-    # Auto-grow the atlas when even the minimum cell can't fit every face
-    # (the reference's xatlas repacks at whatever resolution it's given; a
-    # dense global-refine mesh can exceed 2 faces/16 texels at 1024²).
-    need_cols = int(np.ceil(np.sqrt(np.ceil(F / 2))))
-    if (tex_size // cell) < need_cols:
-        tex_size = cell * need_cols
-    uv, face_of, bary_of = _triangle_atlas(F, tex_size, cell)
+    if atlas == "charted":
+        try:
+            uv, face_of, bary_of = _charted_atlas(
+                mesh.vertices, mesh.faces, mesh.face_normals, tex_size)
+        except ValueError:
+            atlas = "triangle"
+    if atlas == "triangle":
+        cell = max(
+            4, int(np.floor(tex_size / np.ceil(np.sqrt(np.ceil(F / 2))))))
+        cell = min(cell, 64)
+        # Auto-grow the atlas when even the minimum cell can't fit every
+        # face (the reference's xatlas repacks at whatever resolution it's
+        # given; a dense global-refine mesh can exceed 2 faces/16 texels
+        # at 1024²).
+        need_cols = int(np.ceil(np.sqrt(np.ceil(F / 2))))
+        if (tex_size // cell) < need_cols:
+            tex_size = cell * need_cols
+        uv, face_of, bary_of = _triangle_atlas(F, tex_size, cell)
 
     ys, xs = np.nonzero(face_of >= 0)
     f_id = face_of[ys, xs]                     # (M,)

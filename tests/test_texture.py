@@ -113,3 +113,148 @@ def test_triangle_atlas_auto_grows_for_dense_mesh():
     # barycentrics are normalized where a face is assigned
     w = bary_of[face_of >= 0]
     np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------- charted (xatlas-like)
+def _sphere_mesh(n=12, r=0.3):
+    """Subdivided cube projected to a sphere — curvature exercises chart
+    splitting (a single planar chart cannot hold it at cos_thresh 0.7)."""
+    grids = []
+    lin = np.linspace(-1, 1, n + 1)
+    faces = []
+    verts = []
+
+    def add_face(base_u, base_v, base_w, sign):
+        i0 = len(verts)
+        for a in lin:
+            for b in lin:
+                p = sign * np.asarray(base_w) + a * np.asarray(base_u) \
+                    + b * np.asarray(base_v)
+                p = p / np.linalg.norm(p) * r
+                verts.append(p)
+        for i in range(n):
+            for j in range(n):
+                k = i0 + i * (n + 1) + j
+                if sign > 0:
+                    faces.append([k, k + n + 1, k + 1])
+                    faces.append([k + 1, k + n + 1, k + n + 2])
+                else:
+                    faces.append([k, k + 1, k + n + 1])
+                    faces.append([k + 1, k + n + 2, k + n + 1])
+        return i0
+
+    for (u, v, w, s) in (
+        ((1, 0, 0), (0, 1, 0), (0, 0, 1), 1.0),
+        ((1, 0, 0), (0, 1, 0), (0, 0, 1), -1.0),
+        ((0, 1, 0), (0, 0, 1), (1, 0, 0), 1.0),
+        ((0, 1, 0), (0, 0, 1), (1, 0, 0), -1.0),
+        ((0, 0, 1), (1, 0, 0), (0, 1, 0), 1.0),
+        ((0, 0, 1), (1, 0, 0), (0, 1, 0), -1.0),
+    ):
+        add_face(u, v, w, s)
+    return Mesh(np.asarray(verts), np.asarray(faces, np.int64))
+
+
+def test_charted_atlas_cube_coverage_and_roundtrip():
+    mesh = _cube_mesh(0.3)
+    uv, face_of, bary_of = tex_mod._charted_atlas(
+        mesh.vertices, mesh.faces, mesh.face_normals, 256)
+    assert uv.shape == (12, 3, 2)
+    assert uv.min() >= 0 and uv.max() <= 1
+    present = np.unique(face_of[face_of >= 0])
+    assert set(present.tolist()) == set(range(12))
+    m = face_of >= 0
+    np.testing.assert_allclose(bary_of[m].sum(-1), 1.0, atol=1e-5)
+    # geometric round-trip: a strictly-interior texel's barycentric point,
+    # mapped through the face UVs, must land back on that texel's center
+    # (within a texel — the tolerant edge band only affects border texels).
+    ys, xs = np.nonzero(m)
+    fid = face_of[ys, xs]
+    w = bary_of[ys, xs]
+    uv_pt = np.einsum("mk,mkc->mc", w, uv[fid]) * 256
+    err = np.abs(uv_pt - np.stack([xs + 0.0, ys + 0.0], -1))
+    interior = (w.min(-1) > 0.05)
+    assert interior.sum() > 100
+    assert err[interior].max() < 1.5
+
+
+def test_charted_atlas_beats_triangle_on_area_proportionality():
+    """The charted unwrap spends texels proportionally to surface area; the
+    per-face atlas gives every face the same cell regardless of size.  On a
+    sphere with a ~2.7x face-area spread (projected-cube pinch), the
+    charted atlas must keep the per-area texel density far more uniform,
+    at a reasonable fill (sphere charts are round blobs in rectangular
+    bounds — ~0.35 atlas fill is the xatlas-class regime, vs the triangle
+    atlas's dense-but-area-blind cells)."""
+    mesh = _sphere_mesh(n=12)
+    F = len(mesh.faces)
+    tri = mesh.vertices[mesh.faces]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+
+    uv_c, face_c, _ = tex_mod._charted_atlas(
+        mesh.vertices, mesh.faces, mesh.face_normals, 512)
+    assert set(np.unique(face_c[face_c >= 0]).tolist()) == set(range(F))
+    assert (face_c >= 0).mean() > 0.3
+    cell = max(4, int(np.floor(512 / np.ceil(np.sqrt(np.ceil(F / 2))))))
+    uv_t, face_t, _ = tex_mod._triangle_atlas(F, 512, cell)
+
+    def density_spread(face_of):
+        counts = np.bincount(face_of[face_of >= 0].ravel(), minlength=F)
+        dens = counts / area
+        # 90/10 percentile ratio of texels-per-unit-area across faces
+        lo, hi = np.percentile(dens, [10, 90])
+        return hi / max(lo, 1e-9)
+
+    spread_c = density_spread(face_c)
+    spread_t = density_spread(face_t)
+    # triangle atlas: equal texels per face -> density spread ~ area spread
+    # (>= 3x here); charted: near-uniform density
+    assert spread_c < spread_t / 1.5, (spread_c, spread_t)
+    assert spread_c < 3.0, spread_c
+
+
+def test_bake_texture_charted_default_matches_triangle_quality(tmp_path):
+    """The bake with the charted atlas reproduces a smooth xyz-keyed
+    color field sampled at face centroids (validates uv/bary/atlas
+    end-to-end through the actual bake path)."""
+    pytest.importorskip("cv2")
+    from bundlesdf_tpu import native
+
+    if not native.available():
+        pytest.skip("native rasterizer required")
+    mesh = _cube_mesh(0.3)
+    H = W = 128
+    K = np.array([[128.0, 0, 64], [0, 128.0, 64], [0, 0, 1]], np.float32)
+    rgbs, depths, masks, cams = [], [], [], []
+    # six views, one per cube face direction
+    for axis, sign in (((0, 0, 1), 1), ((0, 0, 1), -1), ((0, 1, 0), 1),
+                       ((0, 1, 0), -1), ((1, 0, 0), 1), ((1, 0, 0), -1)):
+        z = np.asarray(axis, np.float64) * sign
+        up = np.array([0.0, 1.0, 0.0]) if abs(z[1]) < 0.9 else \
+            np.array([1.0, 0.0, 0.0])
+        xcam = np.cross(up, z); xcam /= np.linalg.norm(xcam)
+        ycam = np.cross(z, xcam)
+        ob_in_cam = np.eye(4)
+        ob_in_cam[:3, :3] = np.stack([xcam, ycam, z])
+        ob_in_cam[2, 3] = 1.5
+        depth, fid, bar = native.rasterize(
+            mesh.vertices, mesh.faces, K, ob_in_cam, H, W)
+        mask = (depth > 0).astype(np.float32)
+        # color every visible pixel by its 3D point's xyz (affine map)
+        tri = mesh.vertices[mesh.faces[np.maximum(fid, 0)]]
+        pts = np.einsum("hwk,hwkc->hwc", bar, tri)
+        rgb = np.clip(pts / 0.6 + 0.5, 0, 1).astype(np.float32) * mask[..., None]
+        rgbs.append(rgb); depths.append(depth); masks.append(mask)
+        cams.append(np.linalg.inv(ob_in_cam))
+    out, tex = tex_mod.bake_texture_from_train_images(
+        mesh, np.stack(rgbs), np.stack(depths), np.stack(masks),
+        np.stack(cams), K, tex_size=256, atlas="charted")
+    # sample the baked texture at each face's centroid uv and compare to
+    # the analytic color of the centroid
+    cen = mesh.vertices[mesh.faces].mean(1)
+    want = np.clip(cen / 0.6 + 0.5, 0, 1)
+    uvm = out.face_uv.mean(1)
+    got = tex[(uvm[:, 1] * 256).astype(int), (uvm[:, 0] * 256).astype(int)]
+    err = np.abs(got / 255.0 - want)
+    assert err.max() < 0.15, err.max()

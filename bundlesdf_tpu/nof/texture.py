@@ -118,33 +118,77 @@ def _charted_atlas(vertices, faces, face_normals, tex_size: int,
     area = 0.5 * np.linalg.norm(
         np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
 
+    # ---- smoothed normals for CLUSTERING only (the parameterization uses
+    # the true geometry).  Marching-tets meshes have per-face normal noise
+    # well past any sane admission angle; two 1-ring averaging passes give
+    # the underlying surface orientation.
+    pa, pb = os_[:-1][same], os_[1:][same]                 # adjacent pairs
+    sn = face_normals * area[:, None]
+    for _ in range(2):
+        acc = sn.copy()
+        np.add.at(acc, pa, sn[pb])
+        np.add.at(acc, pb, sn[pa])
+        sn = acc / np.maximum(
+            np.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
+
     # ---- greedy chart growth.  BFS (deque) keeps charts round — a DFS
     # frontier grows stringy charts whose bounding rects pack terribly.
     from collections import deque
 
     max_chart = max(64, F // 16)
     chart_of = np.full(F, -1, np.int64)
-    charts = []
+    n_charts = 0
     for seed in np.argsort(-area):                         # big faces seed
         if chart_of[seed] >= 0:
             continue
-        cid = len(charts)
+        cid = n_charts
+        n_charts += 1
         chart_of[seed] = cid
-        members = [seed]
-        n_acc = face_normals[seed] * area[seed]
+        n_members = 1
+        n_acc = sn[seed] * area[seed]
         frontier = deque(nbr[seed])
-        while frontier and len(members) < max_chart:
+        while frontier and n_members < max_chart:
             f = frontier.popleft()
             if chart_of[f] >= 0:
                 continue
             cn = n_acc / max(np.linalg.norm(n_acc), 1e-12)
-            if float(face_normals[f] @ cn) < cos_thresh:
+            if float(sn[f] @ cn) < cos_thresh:
                 continue
             chart_of[f] = cid
-            members.append(f)
-            n_acc = n_acc + face_normals[f] * area[f]
+            n_members += 1
+            n_acc = n_acc + sn[f] * area[f]
             frontier.extend(nbr[f])
-        charts.append(np.asarray(members))
+
+    # ---- absorb small charts into their most-adjacent neighbor chart
+    # (xatlas's small-chart merge): every chart costs a gutter-padded rect,
+    # and a noisy mesh otherwise produces tens of thousands of singletons
+    # that can never pack.
+    min_chart = 8
+    for _ in range(4):
+        ca, cb = chart_of[pa], chart_of[pb]
+        cnt = np.bincount(chart_of, minlength=n_charts)
+        small = cnt < min_chart
+        cross = ca != cb
+        if not (small[ca[cross]] | small[cb[cross]]).any():
+            break
+        # for each small chart, the neighbor chart sharing the most edges
+        from collections import Counter, defaultdict
+
+        votes = defaultdict(Counter)
+        for x, y in ((ca[cross], cb[cross]), (cb[cross], ca[cross])):
+            for s, t in zip(x, y):
+                if small[s]:
+                    votes[s][t] += 1
+        remap = np.arange(n_charts)
+        for s, c in votes.items():
+            remap[s] = c.most_common(1)[0][0]
+        # resolve chains (small -> small -> big) one hop per outer iter
+        chart_of = remap[chart_of]
+
+    uniq, chart_of = np.unique(chart_of, return_inverse=True)
+    order_f = np.argsort(chart_of, kind="stable")
+    bounds = np.searchsorted(chart_of[order_f], np.arange(len(uniq) + 1))
+    charts = [order_f[bounds[c]:bounds[c + 1]] for c in range(len(uniq))]
 
     # ---- per-chart planar parameterization
     uv3 = np.zeros((F, 3, 2))

@@ -3,12 +3,19 @@
 The reference bakes a UV texture atlas via xatlas unwrap + pyrender
 rasterization + a CUDA barycentric-UV kernel
 (nerf_runner.py:1467-1541 mesh_texture_from_train_images,
-mycuda rayColorToTextureImageCUDA).  xatlas/pyrender are unavailable here;
-we provide the reference's vertex-color variants
-(nerf_runner.py:1411-1464 mesh_vertex_color_from_train_images /
-_from_nerf): project mesh vertices into each training view, check depth
-visibility, and blend observed colors — plus a field-based fallback that
-queries the NOF color head directly.
+mycuda rayColorToTextureImageCUDA).  xatlas/pyrender are unavailable here,
+so this module re-implements the full path from scratch:
+
+  * ``bake_texture_from_train_images`` — a compact charted UV unwrap
+    (``_charted_atlas``, xatlas-equivalent: greedy normal-clustered chart
+    growth, planar parameterization, shelf packing) with a zero-failure
+    per-face triangle atlas fallback (``_triangle_atlas``), occlusion via
+    the native C++ z-buffer rasterizer, and a weighted texel bake;
+  * the reference's vertex-color variants
+    (nerf_runner.py:1411-1464 mesh_vertex_color_from_train_images /
+    _from_nerf): ``bake_vertex_colors`` projects mesh vertices into each
+    training view with depth-visibility checks, and
+    ``vertex_colors_from_field`` queries the NOF color head directly.
 """
 from __future__ import annotations
 
@@ -152,7 +159,12 @@ def _charted_atlas(vertices, faces, face_normals, tex_size: int,
             if chart_of[f] >= 0:
                 continue
             cn = n_acc / max(np.linalg.norm(n_acc), 1e-12)
-            if float(sn[f] @ cn) < cos_thresh:
+            # admission by SMOOTHED normal (marching-tets noise), but the
+            # RAW normal must also face the chart plane: a face whose true
+            # normal opposes the projection axis would project with a
+            # negative Jacobian — a fold (ADVICE r4 #1).
+            if float(sn[f] @ cn) < cos_thresh or \
+                    float(face_normals[f] @ cn) < 0.05:
                 continue
             chart_of[f] = cid
             n_members += 1
@@ -190,18 +202,46 @@ def _charted_atlas(vertices, faces, face_normals, tex_size: int,
     bounds = np.searchsorted(chart_of[order_f], np.arange(len(uniq) + 1))
     charts = [order_f[bounds[c]:bounds[c + 1]] for c in range(len(uniq))]
 
-    # ---- per-chart planar parameterization
-    uv3 = np.zeros((F, 3, 2))
-    sizes = np.zeros((len(charts), 2))
-    for cid, members in enumerate(charts):
-        n = (face_normals[members] * area[members, None]).sum(0)
-        n = n / max(np.linalg.norm(n), 1e-12)
+    # ---- per-chart planar parameterization + fold split.  The projection
+    # axis is the chart's area-weighted RAW normal; any member whose
+    # projected triangle has non-positive signed area is folded (flipped
+    # Jacobian) and its UV triangle would overlap neighbors, silently
+    # baking wrong colors (ADVICE r4 #1).  Folded faces are evicted into
+    # singleton charts parameterized in their own normal's basis, where
+    # the projection is exact.
+    def _basis(n):
         t1 = np.cross(n, [0.0, 0.0, 1.0])
         if np.linalg.norm(t1) < 1e-6:
             t1 = np.cross(n, [0.0, 1.0, 0.0])
         t1 /= np.linalg.norm(t1)
-        t2 = np.cross(n, t1)
-        p = tri[members] @ np.stack([t1, t2], axis=1)      # (m, 3, 2)
+        return np.stack([t1, np.cross(n, t1)], axis=1)     # (3, 2)
+
+    kept_charts = []
+    folded: list[int] = []
+    for members in charts:
+        n = (face_normals[members] * area[members, None]).sum(0)
+        n = n / max(np.linalg.norm(n), 1e-12)
+        p = tri[members] @ _basis(n)                       # (m, 3, 2)
+        e1 = p[:, 1] - p[:, 0]
+        e2 = p[:, 2] - p[:, 0]
+        sa = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]     # 2x signed area
+        bad = sa <= 1e-12 * np.maximum(area[members], 1e-12)
+        if bad.any():
+            folded.extend(members[bad].tolist())
+            members = members[~bad]
+        if len(members):
+            kept_charts.append(members)
+    charts = kept_charts + [np.array([f]) for f in folded]
+
+    uv3 = np.zeros((F, 3, 2))
+    sizes = np.zeros((len(charts), 2))
+    for cid, members in enumerate(charts):
+        if len(members) == 1:
+            n = face_normals[members[0]]
+        else:
+            n = (face_normals[members] * area[members, None]).sum(0)
+        n = n / max(np.linalg.norm(n), 1e-12)
+        p = tri[members] @ _basis(n)                       # (m, 3, 2)
         lo = p.reshape(-1, 2).min(0)
         uv3[members] = p - lo
         sizes[cid] = p.reshape(-1, 2).max(0) - lo
@@ -248,38 +288,82 @@ def _charted_atlas(vertices, faces, face_normals, tex_size: int,
     for cid, members in enumerate(charts):
         uv[members] = uv3[members] * density + offs[cid] + gutter
 
-    # ---- rasterize texels (vectorized per face over its bbox)
+    # ---- rasterize texels: faces bucketed by bbox size, each bucket
+    # vectorized as (faces, bh, bw) half-plane tests (ADVICE r4 #3 — the
+    # per-face Python loop was minutes of host work at global-refine face
+    # counts).  Two passes keep the loop's overwrite semantics sound:
+    # strict-inside texels first (fold-free charts never overlap, so
+    # overwrites only happen inside the tolerant seam band), then the
+    # tolerant band fills still-empty texels only.
     face_of = np.full((tex_size, tex_size), -1, np.int32)
     bary_of = np.zeros((tex_size, tex_size, 3), np.float32)
-    for f in range(F):
-        (ax, ay), (bx, by), (cx, cy) = uv[f]
-        x0 = max(int(np.floor(min(ax, bx, cx))) - 1, 0)
-        x1 = min(int(np.ceil(max(ax, bx, cx))) + 1, tex_size - 1)
-        y0 = max(int(np.floor(min(ay, by, cy))) - 1, 0)
-        y1 = min(int(np.ceil(max(ay, by, cy))) + 1, tex_size - 1)
-        if x1 < x0 or y1 < y0:
-            continue
-        px, py = np.meshgrid(np.arange(x0, x1 + 1) + 0.0,
-                             np.arange(y0, y1 + 1) + 0.0)
-        d = (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
-        if abs(d) < 1e-12:
-            continue
-        w0 = ((bx - px) * (cy - py) - (cx - px) * (by - py)) / d
-        w1 = ((cx - px) * (ay - py) - (ax - px) * (cy - py)) / d
-        w2 = 1.0 - w0 - w1
-        # tolerant band (~half texel) closes seam cracks between faces
-        eps = -0.5 / max(abs(bx - ax) + abs(by - ay), 1.0)
-        inside = (w0 >= eps) & (w1 >= eps) & (w2 >= eps)
-        strict = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        ys, xs = np.nonzero(inside & (strict | (face_of[y0:y1 + 1,
-                                                        x0:x1 + 1] < 0)))
-        if not len(ys):
-            continue
-        w = np.clip(np.stack([w0[ys, xs], w1[ys, xs], w2[ys, xs]], -1),
-                    0, None)
-        w /= np.maximum(w.sum(-1, keepdims=True), 1e-9)
-        face_of[y0 + ys, x0 + xs] = f
-        bary_of[y0 + ys, x0 + xs] = w.astype(np.float32)
+    fx0 = np.maximum(np.floor(uv[:, :, 0].min(1)).astype(np.int64) - 1, 0)
+    fx1 = np.minimum(np.ceil(uv[:, :, 0].max(1)).astype(np.int64) + 1,
+                     tex_size - 1)
+    fy0 = np.maximum(np.floor(uv[:, :, 1].min(1)).astype(np.int64) - 1, 0)
+    fy1 = np.minimum(np.ceil(uv[:, :, 1].max(1)).astype(np.int64) + 1,
+                     tex_size - 1)
+    av, bv, cv = uv[:, 0], uv[:, 1], uv[:, 2]
+    dz = ((bv[:, 0] - av[:, 0]) * (cv[:, 1] - av[:, 1])
+          - (cv[:, 0] - av[:, 0]) * (bv[:, 1] - av[:, 1]))
+    fok = (fx1 >= fx0) & (fy1 >= fy0) & (np.abs(dz) >= 1e-12)
+    bw_all = np.where(fok, fx1 - fx0 + 1, 1)
+    bh_all = np.where(fok, fy1 - fy0 + 1, 1)
+    size_cls = np.maximum(
+        np.ceil(np.log2(bw_all)), np.ceil(np.log2(bh_all))).astype(np.int64)
+
+    def _raster_pass(sel, tolerant: bool):
+        n = len(sel)
+        if n == 0:
+            return
+        B = 1 << int(size_cls[sel].max())
+        # chunk so the (chunk, B, B) temps stay ~tens of MB
+        step = max(1, (1 << 22) // (B * B))
+        for s in range(0, n, step):
+            fs = sel[s:s + step]
+            px = fx0[fs, None, None] + np.arange(B)[None, None, :]
+            py = fy0[fs, None, None] + np.arange(B)[None, :, None]
+            inbb = (px <= fx1[fs, None, None]) & (py <= fy1[fs, None, None])
+            pxf, pyf = px + 0.0, py + 0.0
+            ax, ay = av[fs, 0, None, None], av[fs, 1, None, None]
+            bx, by = bv[fs, 0, None, None], bv[fs, 1, None, None]
+            cx, cy = cv[fs, 0, None, None], cv[fs, 1, None, None]
+            d = dz[fs, None, None]
+            w0 = ((bx - pxf) * (cy - pyf) - (cx - pxf) * (by - pyf)) / d
+            w1 = ((cx - pxf) * (ay - pyf) - (ax - pxf) * (cy - pyf)) / d
+            w2 = 1.0 - w0 - w1
+            strict = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & inbb
+            if tolerant:
+                # tolerant band (~half texel) closes seam cracks
+                eps = -0.5 / np.maximum(
+                    np.abs(bx - ax) + np.abs(by - ay), 1.0)
+                hit = ((w0 >= eps) & (w1 >= eps) & (w2 >= eps) & inbb
+                       & ~strict)
+            else:
+                hit = strict
+            fi, ys, xs = np.nonzero(hit)
+            if not len(fi):
+                continue
+            ty = fy0[fs][fi] + ys
+            tx = fx0[fs][fi] + xs
+            if tolerant:
+                keep = face_of[ty, tx] < 0
+                fi, ys, xs, ty, tx = (fi[keep], ys[keep], xs[keep],
+                                      ty[keep], tx[keep])
+                if not len(fi):
+                    continue
+            w = np.clip(np.stack(
+                [w0[fi, ys, xs], w1[fi, ys, xs], w2[fi, ys, xs]], -1),
+                0, None)
+            w /= np.maximum(w.sum(-1, keepdims=True), 1e-9)
+            face_of[ty, tx] = np.asarray(fs)[fi]
+            bary_of[ty, tx] = w.astype(np.float32)
+
+    fsel = np.nonzero(fok)[0]
+    for cls in np.unique(size_cls[fsel]):
+        _raster_pass(fsel[size_cls[fsel] == cls], tolerant=False)
+    for cls in np.unique(size_cls[fsel]):
+        _raster_pass(fsel[size_cls[fsel] == cls], tolerant=True)
 
     # ---- one dilation pass pads chart borders into the gutter
     empty = face_of < 0
@@ -377,7 +461,15 @@ def bake_texture_from_train_images(
         try:
             uv, face_of, bary_of = _charted_atlas(
                 mesh.vertices, mesh.faces, mesh.face_normals, tex_size)
-        except ValueError:
+        except Exception as e:  # noqa: BLE001 — the triangle atlas is the
+            # advertised zero-failure path; ANY degenerate-input failure
+            # (packing ValueError, NaN vertices hitting LinAlgError, empty
+            # meshes hitting IndexError) must fall back, not crash the bake
+            # (ADVICE r4 #2)
+            import logging
+
+            logging.warning("charted atlas failed (%s); falling back to "
+                            "triangle atlas", e)
             atlas = "triangle"
     if atlas == "triangle":
         cell = max(

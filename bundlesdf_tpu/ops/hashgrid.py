@@ -792,7 +792,8 @@ def _cell_bwd_impl(spec, n_rays, res, g):
         if p["dense"]:
             R = p["res"]
             dt = _lvl_dtype(spec, p)
-            if dt == jnp.bfloat16 and spec.reduce == "pallas":
+            if (dt == jnp.bfloat16 and spec.reduce == "pallas"
+                    and _pallas_reduce_shape_ok(R, C)):
                 reduce_fn = _reduce_cell_cache_grad_pallas_wrap
             elif dt == jnp.bfloat16:
                 reduce_fn = _reduce_cell_cache_grad_conv
@@ -915,6 +916,21 @@ def _hash_encode_cell_rays_bwd(spec, n_rays, res, g):
 
 hash_encode_cell_rays.defvjp(_hash_encode_cell_rays_fwd,
                              _hash_encode_cell_rays_bwd)
+
+
+def _pallas_reduce_shape_ok(R: int, C: int) -> bool:
+    """Validated shape envelope for the pallas plane-sweep reduce
+    (ADVICE r4 #4): the kernel is measured at R in {64, 128}, C = 2.  Off
+    that envelope it can OOM VMEM (the in-kernel 2-hot (R*8C, S*C)
+    matrices grow ~quadratically in C) or hit unaligned lane dims (R*8C
+    not a multiple of 128).  Gate auto-selection to: lane-aligned packed
+    plane, and the 2-hot matrix + both plane blocks under a ~6 MB VMEM
+    estimate; anything else silently uses the conv reduce."""
+    S = R + 1
+    fz_bytes = (R * 8 * C) * (S * C) * 2           # one bf16 2-hot matrix
+    plane_bytes = R * (R * 8 * C) * 2 * 2 * 2      # 2 blocks, double-buffered
+    return ((R * 8 * C) % 128 == 0 and C <= 2
+            and fz_bytes + plane_bytes <= 6 * 1024 * 1024)
 
 
 def _reduce_cell_cache_grad_pallas_wrap(d_cache, p, C: int):

@@ -1,9 +1,12 @@
 """Measure the pallas matmul-shift cache-grad reduce vs the shipped conv
 reduce on the real chip, at the big dense level shapes (R=64, 128; C=2).
 
-Timing: K applications chained inside one jit (output folded back into the
-input region so XLA can't CSE them away), minus a null-program baseline —
-the standard launch-overhead-compensated pattern from probe_reduce_r3.
+Timing (ADVICE r4 #5 — describe what is actually measured): a plain loop
+of ``iters`` independent dispatches with one trailing block_until_ready,
+best of ``reps``.  Per-dispatch overhead is amortized over the loop but
+NOT subtracted — the numbers are comparable between the two engines (same
+overhead both sides), not absolute in-program costs.  The in-situ step
+deltas recorded in BASELINE.md are the authoritative measurements.
 """
 import os
 import sys

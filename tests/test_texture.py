@@ -258,3 +258,34 @@ def test_bake_texture_charted_default_matches_triangle_quality(tmp_path):
     got = tex[(uvm[:, 1] * 256).astype(int), (uvm[:, 0] * 256).astype(int)]
     err = np.abs(got / 255.0 - want)
     assert err.max() < 0.15, err.max()
+
+
+def test_charted_atlas_folded_face_split_no_uv_overlap():
+    """ADVICE r4 #1: a face whose raw normal opposes its neighborhood's
+    (a fold on a noisy marching-tets surface) must not project with a
+    flipped Jacobian inside a chart — it is split out and every final UV
+    triangle has positive signed area (no silent texel overwrites)."""
+    # 4 triangles in the z=0 plane sharing vertex 0, one wound BACKWARD so
+    # its geometric normal points -z while its neighbors point +z.
+    V = np.array([
+        [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 1.0, 0.0],
+        [0.0, 1.0, 0.0], [-1.0, 0.5, 0.0], [-0.5, -0.8, 0.0],
+    ])
+    F = np.array([
+        [0, 1, 2],
+        [0, 2, 3],
+        [3, 4, 0],
+        [0, 5, 4],         # flipped winding -> normal -z
+    ])
+    mesh = Mesh(V, F)
+    n = mesh.face_normals
+    assert n[3, 2] < 0 and n[0, 2] > 0  # the fixture really is folded
+    uv, face_of, bary_of = tex_mod._charted_atlas(V, F, n, 128)
+    # all 4 faces rasterized somewhere
+    present = np.unique(face_of[face_of >= 0])
+    assert set(present.tolist()) == {0, 1, 2, 3}
+    # positive signed area for every UV triangle = fold-free projection
+    e1 = uv[:, 1] - uv[:, 0]
+    e2 = uv[:, 2] - uv[:, 0]
+    sa = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    assert (sa > 0).all(), sa

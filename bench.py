@@ -136,6 +136,41 @@ def _bench_steps():
     return steps_per_s, step_ms, floor_ms, jax.default_backend()
 
 
+def _probe_transport():
+    """Per-run tunnel transport probe (VERDICT r4 weak #1: committed walls
+    from different sessions aren't comparable — the tunnel's fixed dispatch
+    cost drifted 31->40 ms and bandwidth 25->37 ms/MB between r4 sessions).
+    Returns {rtt_ms, ms_per_mb} measured NOW, so e2e numbers can be
+    normalized to the r4 reference transport (REF_RTT_MS)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: v + 1.0)
+    one = jnp.float32(1.0)
+    float(f(one))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(f(one))
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    g = jax.jit(lambda v: v.sum())
+    buf = np.zeros((1 << 20,), np.float32)  # 4 MB
+    float(g(jnp.asarray(buf)))
+    t0 = time.perf_counter()
+    for i in range(5):
+        buf[0] = i  # defeat any host-side transfer caching
+        float(g(jnp.asarray(buf)))
+    ms4 = (time.perf_counter() - t0) / 5 * 1e3
+    return {"rtt_ms": round(rtt_ms, 1),
+            "ms_per_mb": round(max(0.0, (ms4 - rtt_ms)) / 4.0, 1)}
+
+
+# r4's committed transport anchor (BASELINE.md probe_h2d_r4 re-probe):
+# fixed dispatch cost used to normalize e2e fps across tunnel drift.
+REF_RTT_MS = 37.0
+
+
 def _bench_e2e():
     """Tiny end-to-end run: 6-frame 320^2 dots cube, product config; fps
     measured over the post-compile frames."""
@@ -180,6 +215,9 @@ def _bench_e2e():
     out = tempfile.mkdtemp(prefix="bench_e2e_")
     cfg_nof["save_dir"] = out
     cfg_track["debug_dir"] = out
+    from bundlesdf_tpu.utils import profiler
+
+    profiler.reset()
     tracker = BundleSdf(cfg_track=cfg_track, cfg_nof=cfg_nof, out_dir=out,
                         use_nof=True, save_artifacts=False)
     t_marks = []
@@ -196,7 +234,17 @@ def _bench_e2e():
     half = len(t_marks) // 2
     tail = t_marks[-1] - t_marks[half]
     fps = (len(t_marks) - 1 - half) / tail if tail > 0 else 0.0
-    return fps, N_FRAMES
+    st = profiler.stats()
+    n = len(t_marks)
+    choreo = {
+        "launches_per_frame": round(sum(
+            v["count"] for k, v in st.items()
+            if k.startswith("launch/")) / max(n, 1), 2),
+        "readbacks_per_frame": round(sum(
+            v["count"] for k, v in st.items()
+            if k.startswith("readback/")) / max(n, 1), 2),
+    }
+    return fps, N_FRAMES, choreo
 
 
 def _bench_programs():
@@ -331,20 +379,34 @@ def partial_ba(ba_mod, params, N):
 
 
 def run_bench():
+    try:
+        transport = _probe_transport()
+    except Exception as e:
+        transport = {"error": str(e)[:200]}
     steps_per_s, step_ms, floor_ms, backend = _bench_steps()
     try:
         programs = _bench_programs()
     except Exception as e:  # auxiliary section must never kill the headline
         programs = {"error": str(e)[:300]}
     try:
-        e2e_fps, e2e_frames = _bench_e2e()
+        e2e_fps, e2e_frames, choreo = _bench_e2e()
     except Exception as e:  # e2e must never kill the headline metric
-        e2e_fps, e2e_frames = None, f"error: {e}"
+        e2e_fps, e2e_frames, choreo = None, f"error: {e}", {}
+    # Drift-normalized e2e (VERDICT r4 weak #1): subtract the measured
+    # blocking-readback transport excess vs the r4 reference RTT so fps is
+    # comparable across tunnel sessions.
+    e2e_fps_norm = None
+    if isinstance(e2e_fps, float) and e2e_fps > 0 and \
+            isinstance(transport.get("rtt_ms"), (int, float)) and choreo:
+        excess_s = choreo["readbacks_per_frame"] * (
+            transport["rtt_ms"] - REF_RTT_MS) / 1e3
+        e2e_fps_norm = round(1.0 / max(1.0 / e2e_fps - excess_s, 1e-6), 4)
     print(json.dumps({
         "metric": "nof_train_steps_per_s",
         "value": round(steps_per_s, 2),
         "unit": "steps/s (2048 rays x 192 samples, 4-level hash 2^22, "
-                "loop_chunk 50)",
+                "bench chunk 50; shipped online loop_chunk is 16 for "
+                "tracker overlap)",
         "vs_baseline": round(steps_per_s / 100.0, 3),
         "baseline_is_estimate": True,
         "backend": backend,
@@ -352,7 +414,11 @@ def run_bench():
         "access_floor_ms": round(floor_ms, 2),
         "roofline_frac": round(floor_ms / step_ms, 3),
         "programs": programs,
+        "transport": transport,
+        "ref_rtt_ms": REF_RTT_MS,
         "e2e_fps": (round(e2e_fps, 4) if isinstance(e2e_fps, float) else e2e_fps),
+        "e2e_fps_transport_normalized": e2e_fps_norm,
+        "e2e_choreography": choreo,
         "e2e_frames": e2e_frames,
     }))
 

@@ -102,6 +102,15 @@ def default_track_config() -> Cfg:
                 "feature_edge_dist_thres": 0.01,
                 "feature_edge_normal_thres": 30.0,
                 "max_optimized_feature_loss": 0.03,
+                # fused_ba: run fresh BA-pair matching + the BA solve as ONE
+                # device program with one packed readback
+                # (ops/fused_track.py); falls back to the split
+                # find_corres + optimize path when ineligible.
+                "fused_ba": True,
+                # fresh-pair capacity of the fused program (one compiled
+                # shape; larger batches fall back to the split path)
+                "fused_ba_pairs": 12,
+                "fused_host_edge_cap": 8192,
             },
             "keyframe": {
                 "min_interval": 1,
@@ -280,10 +289,15 @@ def default_nof_config() -> Cfg:
             # time; a continual runner keeping its weights can refine with
             # fewer steps per round (quality gated by EVAL_synth.json).
             "n_step_extend": 0,
-            # nof_steps_per_frame: async round pacing — how many steps of
-            # the in-flight round are dispatched per tracked frame
-            # (0 = one loop_chunk).  Device work overlaps host tracking.
-            "nof_steps_per_frame": 0,
+            # nof_queue_depth: max NOF loop-chunks kept queued on the
+            # device by the scheduler's pump — bounds how long a tracker
+            # launch can wait behind NOF work while keeping the device fed
+            # during host tracking.
+            "nof_queue_depth": 2,
+            # calibrate_step: one-time per-step device-time measurement at
+            # the first round completion (feeds overlap_frac accounting);
+            # its steps are deducted from the next round's budget.
+            "calibrate_step": True,
             "sc_factor": 1.0,
             "translation": [0.0, 0.0, 0.0],
             "multires_views": 3,
@@ -295,7 +309,11 @@ def default_nof_config() -> Cfg:
             "start_nerf_keyframes": 5,
             "ray_pool_reserve_log2": 0,
             "ray_pool_max_log2": 23,
-            "loop_chunk": 50,
+            # loop_chunk: steps per compiled scan launch.  Small chunks are
+            # the overlap quantum: a tracker launch queues behind at most
+            # nof_queue_depth x loop_chunk steps (~0.5 s/chunk at 16 x
+            # 30 ms), while the scan still amortizes the dispatch RTT.
+            "loop_chunk": 16,
             # i_weights cadence writes a resumable (full=True) checkpoint
             "ckpt_full": False,
             "max_kf_pool": 300,

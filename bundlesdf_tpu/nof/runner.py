@@ -34,7 +34,7 @@ from ..config import Cfg
 from ..models import nof as nof_model
 from ..ops import hashgrid, occupancy as occ_ops
 from ..utils import geometry, mesh as mesh_utils, se3
-from ..utils.profiler import span
+from ..utils.profiler import count as profiler_count, span
 from . import losses as nof_losses
 from . import render as nof_render
 
@@ -690,7 +690,10 @@ class NofRunner:
         — the single-runtime re-expression of the reference's concurrent
         NeRF worker process (bundlesdf.py:64-260, sync gate :571-582).
         Call :meth:`train_drain` (or anything that reads ``params``) to
-        synchronize.
+        synchronize.  Each dispatched chunk's metrics future is tracked in
+        ``_inflight`` so the scheduler can observe queue depth
+        (:meth:`pending_chunks`) and keep tracker launches from queueing
+        behind a deep NOF backlog.
         """
         with span("nof/train_advance"):
             done = 0
@@ -703,9 +706,31 @@ class NofRunner:
                         self.c2w_dev, n,
                     )
                 )
+                profiler_count("launch/nof_chunk")
+                if not hasattr(self, "_inflight"):
+                    self._inflight = []
+                self._inflight.append(
+                    jax.tree_util.tree_leaves(self._metrics_async)[0])
                 self.global_step += n
                 self.total_step += n
                 done += n
+
+    def pending_chunks(self) -> int:
+        """Number of dispatched-but-unfinished training chunks — without
+        blocking.  Completed futures are pruned from the front (the device
+        queue is FIFO, so once chunk k is ready all chunks < k are too)."""
+        q = getattr(self, "_inflight", None)
+        if not q:
+            return 0
+        while q:
+            try:
+                done = bool(q[0].is_ready())
+            except Exception:
+                done = True
+            if not done:
+                break
+            q.pop(0)
+        return len(q)
 
     def train_queue_ready(self) -> bool:
         """True if all dispatched async training work has completed (the
@@ -713,14 +738,7 @@ class NofRunner:
         to top up the queue when the device would otherwise idle, and to
         hold back when it is still busy (keeps tracker device calls from
         queueing behind a deep NOF backlog)."""
-        m = getattr(self, "_metrics_async", None)
-        if m is None:
-            return True
-        leaf = jax.tree_util.tree_leaves(m)[0]
-        try:
-            return bool(leaf.is_ready())
-        except Exception:
-            return True
+        return self.pending_chunks() == 0
 
     def train_drain(self) -> dict:
         """Block until all dispatched training work is done; return the last
@@ -729,8 +747,10 @@ class NofRunner:
         if m is None:
             return {}
         with span("nof/train_drain"):
+            profiler_count("readback/nof_drain")
             out = jax.tree_util.tree_map(lambda x: float(x), m)
         self._metrics_async = None
+        self._inflight = []
         # checkpoint cadence (reference i_weights): checked at round
         # granularity on the async path
         i_weights = int(self.cfg.get("i_weights", 999999))
@@ -744,6 +764,27 @@ class NofRunner:
                 full=bool(self.cfg.get("ckpt_full", False)),
             )
         return out
+
+    # ------------------------------------------------------------------
+    def calibrate_step_ms(self) -> float:
+        """Measured per-step device time (ms) at the compiled online budget:
+        drain the queue, then time one chunk dispatched from idle (includes
+        one dispatch RTT amortized over the chunk).  The chunk performs
+        REAL training steps — the scheduler deducts them from the next
+        round's budget to preserve the total step budget.  Cached for the
+        session; feeds the profile's overlap_frac accounting."""
+        if getattr(self, "_step_ms", 0.0):
+            return self._step_ms
+        import time
+
+        n = self.loop_chunk
+        self.train_drain()
+        t0 = time.perf_counter()
+        self.train_advance(n)
+        self.train_drain()
+        self._step_ms = (time.perf_counter() - t0) * 1e3 / n
+        self._calibrate_steps = n
+        return self._step_ms
 
     # ------------------------------------------------------------------
     def train_ba(self, matches_table, n_steps: int = 200,

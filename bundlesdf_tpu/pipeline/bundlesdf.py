@@ -68,7 +68,8 @@ class BundleSdf:
         self.K = None
         self.nof: NofRunner | None = None
         self._kf_sent = 0          # how many keyframes have been handed to NOF
-        self._nof_steps_left = 0   # steps remaining in the in-flight NOF round
+        self._nof_steps_left = 0   # undispatched steps of the open NOF round
+        self._nof_open = False     # a round is in flight (not yet completed)
         self._nof_poses_pending = None
         self.mesh = None
         self.translation = None
@@ -83,6 +84,9 @@ class BundleSdf:
         self.cnt += 1
         if self.K is None:
             self.K = np.asarray(K, dtype=np.float32)
+        if self.use_nof:
+            # keep the device chewing NOF while the host preps this frame
+            self._nof_pump()
         depth = np.asarray(depth, dtype=np.float32).copy()
 
         percentile = float(self.cfg_track["depth_processing"]["percentile"])
@@ -104,45 +108,35 @@ class BundleSdf:
             # NOF scheduling under the reference sync contract
             # (bundlesdf.py:571-582 + config.yml sync_max_delay), re-expressed
             # for one runtime with JAX async dispatch: a training ROUND is
-            # dispatched to the device in loop-chunks and the host keeps
-            # tracking while the device trains (the reference's concurrent
-            # NeRF worker).  At a new keyframe with backlog >= max(1, delay)
-            # the tracker blocks until the in-flight round drains (the
-            # reference wait loop), applies the pose feedback, and the next
-            # round starts over the whole accumulated keyframe batch.
+            # dispatched to the device in small loop-chunks with a bounded
+            # queue depth (_nof_pump), the host keeps tracking while the
+            # device trains (the reference's concurrent NeRF worker), and
+            # round COMPLETION (drain + pose export + feedback) happens on a
+            # non-blocking poll once the queue is observed idle — the
+            # tracker only ever blocks at the reference wait-loop gate:
+            # a new keyframe with backlog >= max(1, delay).
             n_kf = len(self.bundler.keyframes)
             new_kf = bool(self.bundler.keyframes) and \
                 self.bundler.keyframes[-1] is frame
             delay = int(self.cfg_nof.get("sync_max_delay", 0))
             backlog = n_kf - self._kf_sent
-            if self._nof_steps_left > 0 and new_kf and \
-                    backlog >= max(1, delay):
+            self._nof_poll()
+            if self._nof_open and new_kf and backlog >= max(1, delay):
                 with span("nof/sync_wait"):
-                    self._nof_round_advance(self._nof_steps_left)
-            if self._nof_steps_left == 0 and backlog >= 1 and (
+                    self._nof_round_finish()
+            if not self._nof_open and backlog >= 1 and (
                     (self.nof is not None)
                     or (n_kf >= self.start_nerf_keyframes)):
                 with span("nof/round_start"):
                     self._nof_round_start()
-                if delay == 0 and self._nof_steps_left > 0:
+                if delay == 0 and self._nof_open:
                     # Strict lockstep (sync_max_delay 0, config.yml:102): the
                     # reference wait loop (bundlesdf.py:571-582) blocks until
                     # the round containing the just-pushed keyframe finishes,
                     # so the new round drains synchronously too (ADVICE r3 #1).
                     with span("nof/sync_wait"):
-                        self._nof_round_advance(self._nof_steps_left)
-            if self._nof_steps_left > 0:
-                per_frame = int(self.cfg_nof.get("nof_steps_per_frame", 0)) \
-                    or (self.nof.loop_chunk if self.nof else 0)
-                # Queue-aware dispatch: if the device has drained everything
-                # (it would idle during the next frame's host work), top up
-                # with a double budget; if it is still chewing, keep the
-                # backlog shallow so tracker device launches (fused corres,
-                # BA) don't queue behind a deep NOF backlog.
-                if self.nof is not None and self.nof.train_queue_ready():
-                    per_frame *= 2
-                with span("nof/advance"):
-                    self._nof_round_advance(per_frame)
+                        self._nof_round_finish()
+            self._nof_pump()
 
         self.poses_log[id_str] = np.linalg.inv(frame.pose_in_model)  # ob_in_cam
         if self.gui is not None:
@@ -247,14 +241,21 @@ class BundleSdf:
         with span("track/select_keyframes"):
             b.select_keyframes_for_ba()
         pairs = b.get_feature_match_pairs(b.local_frames)
-        with span("track/find_corres_ba"):
-            corres_mod.find_corres(b.store, pairs, cfg, key=key)
-        if frame.status == FAIL:
-            b.forget_frame(frame)
-            return
-
-        with span("track/ba"):
-            b.optimize(b.local_frames)
+        # Fused tail (VERDICT r4 #1): fresh-pair matching + BA in ONE
+        # device launch with ONE readback.  Falls back to the split path
+        # when ineligible (non-fused engine, raw-reuse pairs pending,
+        # oversized batch).
+        fused_done = False
+        if bool(cfg["bundle"].get("fused_ba", True)):
+            fused_done = b.match_and_optimize(pairs, b.local_frames, key)
+        if not fused_done:
+            with span("track/find_corres_ba"):
+                corres_mod.find_corres(b.store, pairs, cfg, key=key)
+            if frame.status == FAIL:
+                b.forget_frame(frame)
+                return
+            with span("track/ba"):
+                b.optimize(b.local_frames)
         if frame.status == FAIL:
             b.forget_frame(frame)
             return
@@ -268,8 +269,8 @@ class BundleSdf:
         Composite of round_start + drain + complete, used by on_finish and
         offline flows; the online path advances rounds incrementally."""
         self._nof_round_start()
-        if self._nof_steps_left > 0:
-            self._nof_round_advance(self._nof_steps_left)
+        if self._nof_open:
+            self._nof_round_finish()
 
     def _nof_round_start(self):
         """Prepare the next NOF round: snapshot pending keyframes into the
@@ -286,7 +287,7 @@ class BundleSdf:
         if not new_kfs and self.nof is not None:
             # No new keyframes — keep refining with the updated poses.
             self._sync_poses_into_nof()
-            self._nof_steps_left = n_extend
+            self._set_round_budget(n_extend)
             return
         if not new_kfs:
             return
@@ -351,18 +352,60 @@ class BundleSdf:
                 self.nof.add_new_frames(pr, pd, pm, poses_n, pcd_norm)
 
         self._kf_sent = len(kfs)
-        self._nof_steps_left = n_step if first else n_extend
+        self._set_round_budget(n_step if first else n_extend)
 
-    def _nof_round_advance(self, budget: int):
-        """Dispatch up to ``budget`` training steps of the in-flight round
-        (async — no device readback); complete the round when its budget is
-        exhausted."""
-        n = min(int(budget), self._nof_steps_left)
-        if n > 0:
-            self.nof.train_advance(n)
-            self._nof_steps_left -= n
-        if self._nof_steps_left == 0:
+    def _set_round_budget(self, budget: int):
+        """Open a round with ``budget`` steps, deducting steps spent by the
+        session's one calibration chunk (calibrate_step_ms trains for real
+        — total step budget stays exact).  The deduction never shrinks a
+        round below one loop-chunk (a zero-step round would hand keyframes
+        over untrained); unrepaid debt carries to later rounds."""
+        cal = getattr(self.nof, "_calibrate_steps", 0) if self.nof else 0
+        if cal:
+            self.nof._calibrate_steps = 0
+        debt = getattr(self, "_cal_debt", 0) + cal
+        chunk = self.nof.loop_chunk if self.nof else 1
+        use = min(debt, max(0, int(budget) - chunk))
+        self._cal_debt = debt - use
+        self._nof_steps_left = int(budget) - use
+        self._nof_open = self._nof_steps_left > 0
+
+    def _nof_pump(self, depth: int | None = None):
+        """Keep the device queue primed with up to ``depth`` NOF chunks —
+        without ever blocking.  Small chunks bound how long a tracker
+        launch can queue behind NOF work; the poll completes the round once
+        its budget is dispatched AND the queue is observed idle."""
+        if depth is None:
+            depth = int(self.cfg_nof.get("nof_queue_depth", 2))
+        if self.nof is not None and self._nof_steps_left > 0:
+            chunk = self.nof.loop_chunk
+            with span("nof/advance"):
+                while (self._nof_steps_left > 0
+                       and self.nof.pending_chunks() < depth):
+                    n = min(chunk, self._nof_steps_left)
+                    self.nof.train_advance(n)
+                    self._nof_steps_left -= n
+        self._nof_poll()
+
+    def _nof_poll(self):
+        """Complete the open round iff its budget is fully dispatched and
+        the device queue has drained — non-blocking (the drain inside
+        _nof_round_complete is then free)."""
+        if (self._nof_open and self._nof_steps_left == 0
+                and self.nof is not None and self.nof.train_queue_ready()):
             self._nof_round_complete()
+            self._nof_open = False
+
+    def _nof_round_finish(self):
+        """BLOCKING round completion: dispatch any remaining budget, drain,
+        complete (the reference wait loop, bundlesdf.py:571-582)."""
+        if not self._nof_open:
+            return
+        if self._nof_steps_left > 0:
+            self.nof.train_advance(self._nof_steps_left)
+            self._nof_steps_left = 0
+        self._nof_round_complete()
+        self._nof_open = False
 
     def _nof_round_complete(self):
         """Drain the round, export optimized poses, apply feedback — the
@@ -384,6 +427,13 @@ class BundleSdf:
             self._mesh_offset = offset
         with span("nof/feedback"):
             self._apply_nof_feedback()
+        if not getattr(self.nof, "_step_ms", 0.0) and \
+                bool(self.cfg_nof.get("calibrate_step", True)):
+            # one-time per-step device-time calibration (feeds the profile's
+            # overlap_frac accounting); runs REAL steps while the queue is
+            # idle anyway — deducted from the next round's budget.
+            with span("nof/calibrate"):
+                self.nof.calibrate_step_ms()
 
     def _preprocess(self, rgbs, depths, masks, glcam_in_obs):
         """preprocess_data parity (nerf_helpers.py:218-240): normalize rgb,
@@ -449,10 +499,10 @@ class BundleSdf:
         """Final NOF pass over any remaining keyframes (reference
         on_finish bundlesdf.py:324-338 waits for the worker to drain)."""
         if self.use_nof and self.bundler.keyframes:
-            if self._nof_steps_left > 0:
+            if self._nof_open:
                 # drain the in-flight round
                 with span("nof/sync_wait"):
-                    self._nof_round_advance(self._nof_steps_left)
+                    self._nof_round_finish()
             if self.nof is None or self._kf_sent < len(self.bundler.keyframes):
                 self._run_nof_chunk()
         if self.mesh is None and self.nof is not None:

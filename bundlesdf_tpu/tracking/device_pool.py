@@ -101,6 +101,9 @@ class DeviceFramePool:
         return slot
 
     def _upload(self, frame, slot: int):
+        from ..utils import profiler
+
+        profiler.count("launch/pool_upload")
         gray_u8 = np.clip(np.round(frame.gray), 0, 255).astype(np.uint8)
         depth_u16 = np.clip(
             np.round(frame.depth * 1e4), 0, 65535

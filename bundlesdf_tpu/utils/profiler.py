@@ -48,6 +48,16 @@ def span(name: str):
         s[2] = max(s[2], dt)
 
 
+def count(name: str, n: int = 1):
+    """Event counter sharing the span table (count column; zero time).
+    Used for launches/readbacks-per-frame accounting (VERDICT r4 #2): the
+    per-frame device choreography is judged by how many dispatches and
+    blocking readbacks the host issues, not only by wall time."""
+    if not _ENABLED:
+        return
+    _STATS[name][0] += n
+
+
 def stats() -> dict[str, dict]:
     return {
         k: {"count": v[0], "total_s": v[1], "mean_s": v[1] / max(v[0], 1),

@@ -45,6 +45,13 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
     # frame per run in round 2 (diagnosed round 3: the BA pose was ~0.5 cm
     # off GT; forget-and-relocalize recovered it by design).
     cfg_track = ycbineoat_track_config()
+    # engine spec "name:variant" — variants: "split" disables the fused
+    # match+BA program (A/B of VERDICT r4 task #1 within one session)
+    variant = ""
+    if ":" in matcher:
+        matcher, variant = matcher.split(":", 1)
+    if variant == "split":
+        cfg_track["bundle"]["fused_ba"] = False
     cfg_track["feature_corres"]["matcher"] = matcher
     if loftr_ckpt:
         cfg_track["feature_corres"]["loftr_ckpt"] = loftr_ckpt
@@ -104,12 +111,35 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
     if mesh is not None:
         mesh.export(f"{out_folder}/mesh_online.obj")
     # per-stage profile (VERDICT r2 #1: span report in the artifact)
+    st = profiler.stats()
     prof = {
         k: {"count": v["count"], "total_s": round(v["total_s"], 2)}
-        for k, v in sorted(profiler.stats().items(),
-                           key=lambda kv: -kv[1]["total_s"])
-        if v["total_s"] >= 0.5
+        for k, v in sorted(st.items(), key=lambda kv: -kv[1]["total_s"])
+        if v["total_s"] >= 0.5 or k.startswith(("launch/", "readback/"))
     }
+    # Overlap + choreography accounting (VERDICT r4 #1/#2): how much NOF
+    # device time was hidden under host tracking, and how many device
+    # dispatches / blocking readbacks the host issued per frame.
+    n_frames = len(t_marks)
+    if tracker.nof is not None and getattr(tracker.nof, "_step_ms", 0.0):
+        step_ms = float(tracker.nof._step_ms)
+        nof_device_s = tracker.nof.total_step * step_ms / 1e3
+        blocked_s = sum(st.get(k, {"total_s": 0.0})["total_s"]
+                        for k in ("nof/sync_wait", "nof/train_drain"))
+        prof["overlap"] = {
+            "nof_steps_total": int(tracker.nof.total_step),
+            "nof_step_ms": round(step_ms, 2),
+            "nof_device_s": round(nof_device_s, 2),
+            "blocked_wait_s": round(blocked_s, 2),
+            "overlap_frac": round(
+                max(0.0, 1.0 - blocked_s / max(nof_device_s, 1e-9)), 3),
+            "wall_minus_nof_device_s": round(wall - nof_device_s, 2),
+        }
+    launches = sum(v["count"] for k, v in st.items() if k.startswith("launch/"))
+    readbacks = sum(v["count"] for k, v in st.items()
+                    if k.startswith("readback/"))
+    prof["launches_per_frame"] = round(launches / max(n_frames, 1), 2)
+    prof["readbacks_per_frame"] = round(readbacks / max(n_frames, 1), 2)
     return wall, warm_fps, n_fail, failed_frames, prof
 
 
@@ -232,7 +262,7 @@ def main():
     report["fixture"] = fixture
     matchers = [m.strip() for m in args.matchers.split(",") if m.strip()]
     for m in matchers:
-        out_folder = os.path.join(args.workdir, f"out_{m}")
+        out_folder = os.path.join(args.workdir, f"out_{m.replace(':', '_')}")
         prof = None
         if not args.skip_online:
             # the tunneled TPU's remote compiler flakes occasionally

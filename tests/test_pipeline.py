@@ -243,6 +243,7 @@ def test_extension_rounds_use_n_step_extend():
     cfg_nof["n_step_extend"] = 5
     cfg_nof["loop_chunk"] = 5
     cfg_nof["sync_max_delay"] = 0      # strict: drain at every new keyframe
+    cfg_nof["calibrate_step"] = False  # budget-parity test: no extra chunk
     tracker = BundleSdf(
         cfg_track=small_track_cfg(), cfg_nof=cfg_nof,
         start_nerf_keyframes=3, use_nof=True,
@@ -278,3 +279,86 @@ def test_extension_rounds_use_n_step_extend():
     # global_step restarts each extension round — add_new_frames resets the
     # lr schedule like the reference's per-round optimizer recreation)
     assert sum(trained) == sum(starts), (trained, starts)
+
+
+def test_calibration_steps_deducted_from_round_budget():
+    """The one-time step-time calibration chunk trains for real; its steps
+    are repaid from later rounds' budgets (floored at one loop_chunk per
+    round) so the session's total step count stays at the configured
+    budget."""
+    data = make_cube_sequence(n_frames=7, deg_per_frame=6.0)
+    cfg_nof = small_nof_cfg()
+    cfg_nof["n_step"] = 20
+    cfg_nof["n_step_extend"] = 10
+    cfg_nof["loop_chunk"] = 5
+    cfg_nof["sync_max_delay"] = 0
+    tracker = BundleSdf(
+        cfg_track=small_track_cfg(), cfg_nof=cfg_nof,
+        start_nerf_keyframes=3, use_nof=True,
+    )
+    starts = []
+    orig = tracker._nof_round_start
+
+    def counting():
+        orig()
+        starts.append(tracker._nof_steps_left)
+
+    tracker._nof_round_start = counting
+    for k in range(7):
+        tracker.run(
+            data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+            mask=data["masks"][k],
+        )
+    tracker.on_finish()
+    assert starts[0] == 20, starts
+    assert len(starts) >= 2
+    # calibration ran once (5 steps at loop_chunk) and was repaid: at least
+    # one extension round budgeted 10 - 5 = 5, the rest the full 10
+    assert 5 in starts[1:] and set(starts[1:]) <= {5, 10}, starts
+    # total trained = configured budgets exactly (rounds + repaid debt)
+    assert tracker.nof.total_step == sum(starts) + 5, (
+        tracker.nof.total_step, starts)
+
+
+def test_fused_match_ba_equivalent_to_split_path():
+    """The ONE-launch fused match+BA tail (ops/fused_track.py) tracks the
+    same trajectory as the split find_corres + optimize path: same fresh
+    matches committed, poses within BA-noise tolerance (the fused path
+    uses all inlier rows as edges where the split path caps at 256/pair)."""
+    data = make_cube_sequence(n_frames=6, deg_per_frame=3.0)
+
+    def run(fused: bool):
+        cfg = small_track_cfg()
+        cfg["bundle"]["fused_ba"] = fused
+        tracker = BundleSdf(cfg_track=cfg, use_nof=False)
+        for k in range(6):
+            tracker.run(
+                data["colors"][k], data["depths"][k], data["K"], f"{k:04d}",
+                mask=data["masks"][k],
+            )
+        preds = np.stack([tracker.poses_log[f"{k:04d}"] for k in range(6)])
+        n_match = {k: int(v["inlier"].sum())
+                   for k, v in tracker.bundler.store.matches.items()
+                   if v is not None}
+        return preds, n_match, tracker
+
+    p_fused, m_fused, tr_f = run(True)
+    p_split, m_split, tr_s = run(False)
+    # the fused program actually ran (profiler counted its launches)
+    from bundlesdf_tpu.utils import profiler
+
+    st = profiler.stats()
+    assert st.get("launch/fused_match_ba", {"count": 0})["count"] >= 4, st
+    # same pair keys matched; inlier counts in the same ballpark (the two
+    # paths diverge slightly after the first BA — the fused path uses all
+    # inlier rows as edges where the split path caps at 256/pair — and the
+    # pose deltas compound into the later frames' warps/matches)
+    assert set(m_fused) == set(m_split)
+    for k in m_fused:
+        assert abs(m_fused[k] - m_split[k]) <= max(10, 0.3 * m_split[k]), (
+            k, m_fused[k], m_split[k])
+    # trajectories agree to sub-mm / small-rotation tolerance
+    for pf, ps in zip(p_fused, p_split):
+        assert np.linalg.norm(pf[:3, 3] - ps[:3, 3]) < 2e-3, (pf, ps)
+        cos = (np.trace(pf[:3, :3].T @ ps[:3, :3]) - 1) / 2
+        assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.5

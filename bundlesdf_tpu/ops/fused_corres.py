@@ -211,25 +211,38 @@ def _fused_core(
         key, ptsA, ptsB, nA_m, nB_m, gate_valid, cfg.ransac,
         max_trans, max_rot_deg,
     )
+    return {
+        "uvA": uvA, "uvB": uvB, "conf": conf,
+        "row_valid": row_valid, "gate_valid": gate_valid,
+        "inlier": rres["inliers"],
+        "pA": pA, "pB": pB,                     # camera-frame 3D points
+        "pose": rres["pose"], "n_inliers": rres["n_inliers"],
+        "ok": rres["ok"], "n_matcher_valid": n_valid,
+    }
 
-    # ---- 7. pack one readback buffer
+
+def _pack_core_result(res) -> jnp.ndarray:
+    """Pack the _fused_core dict into the single (P, M+3, 8) readback
+    buffer (layout documented in the module docstring)."""
+    P = res["uvA"].shape[0]
     per_match = jnp.stack(
         [
-            uvA[..., 0], uvA[..., 1], uvB[..., 0], uvB[..., 1],
-            conf,
-            row_valid.astype(jnp.float32),
-            gate_valid.astype(jnp.float32),
-            rres["inliers"].astype(jnp.float32),
+            res["uvA"][..., 0], res["uvA"][..., 1],
+            res["uvB"][..., 0], res["uvB"][..., 1],
+            res["conf"],
+            res["row_valid"].astype(jnp.float32),
+            res["gate_valid"].astype(jnp.float32),
+            res["inlier"].astype(jnp.float32),
         ],
         axis=-1,
     )  # (P, M, 8)
-    pose_flat = rres["pose"].reshape(P, 16)
+    pose_flat = res["pose"].reshape(P, 16)
     meta = jnp.concatenate(
         [
             pose_flat,
-            rres["n_inliers"].astype(jnp.float32)[:, None],
-            rres["ok"].astype(jnp.float32)[:, None],
-            n_valid.astype(jnp.float32)[:, None],
+            res["n_inliers"].astype(jnp.float32)[:, None],
+            res["ok"].astype(jnp.float32)[:, None],
+            res["n_matcher_valid"].astype(jnp.float32)[:, None],
             jnp.zeros((P, 5), jnp.float32),
         ],
         axis=-1,
@@ -237,7 +250,8 @@ def _fused_core(
     return jnp.concatenate([per_match, meta], axis=1)  # (P, M+3, 8)
 
 
-fused_find_corres = partial(jax.jit, static_argnames=("cfg",))(_fused_core)
+fused_find_corres = partial(jax.jit, static_argnames=("cfg",))(
+    lambda *a, **kw: _pack_core_result(_fused_core(*a, **kw)))
 
 # Per-pair packed-call layout: 6 scalars + two 3x3 inverse homographies +
 # two 4x4 poses = 56 floats, then the (E, 4) extra-candidate block.  One
@@ -284,6 +298,16 @@ def fused_find_corres_packed(
     key: jax.Array,
     cfg: FusedCorresCfg = FusedCorresCfg(),
 ) -> jnp.ndarray:
+    P = packed.shape[0]
+    E = cfg.n_extra
+    return _pack_core_result(_unpack_and_run(
+        gray_pool, depth_pool, normal_pool, K, packed, key, cfg))
+
+
+def _unpack_and_run(gray_pool, depth_pool, normal_pool, K, packed, key, cfg):
+    """Decode the pack_call buffer and run the fused core (shared by the
+    standalone corres program and the fused match+BA program,
+    ops/fused_track.py)."""
     P = packed.shape[0]
     E = cfg.n_extra
     return _fused_core(

@@ -462,7 +462,7 @@ class BundleSdf:
         glcam[:, :3, 3] += np.asarray(self.translation)
         glcam[:, :3, 3] *= self.sc_factor
         self.nof.c2w_np[: len(kfs)] = glcam.astype(np.float32)
-        self.nof._upload_rays()
+        self.nof.update_c2w()
 
     def _apply_nof_feedback(self):
         """Write optimized keyframe poses back + freeze them in BA

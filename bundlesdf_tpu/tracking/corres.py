@@ -289,46 +289,46 @@ def find_corres(
                         fresh_idx)
 
 
-def _find_corres_fused(store, pairs, cfg, matcher_cfg, key):
-    """Fused device path for fresh pairs (see ops/fused_corres.py)."""
+def make_fused_cfg(store, cfg, matcher_cfg):
+    """FusedCorresCfg from the tracker config (shared by the standalone
+    fused corres path and the fused match+BA path)."""
     from ..ops import fused_corres as fused_ops
 
     fc = cfg["feature_corres"]
     rcfg = cfg["ransac"]
-    out_size = int(fc["resize"])
-    M = store.max_matches
-    pool = store._ensure_pool(pairs[0][0])
-
-    all_frames, seen = [], set()
-    for fa, fb in pairs:
-        for f in (fa, fb):
-            if f.id not in seen:
-                seen.add(f.id)
-                all_frames.append(f)
-    with span("corres/pool_upload"):
-        pool.ensure(all_frames)
-        slot_of = {f.id: pool.slot_of[f.id] for f in all_frames}
-
     params = ransac_ops.RansacParams(
         n_trials=int(rcfg["max_iter"]),
         inlier_dist=float(rcfg["inlier_dist"]),
         inlier_normal_angle_deg=float(rcfg["inlier_normal_angle"]),
         min_match_after_ransac=int(rcfg["min_match_after_ransac"]),
     )
-    fcfg = fused_ops.FusedCorresCfg(
-        out_size=out_size, n_extra=int(fc.get("n_extra_prop", 128)),
+    return fused_ops.FusedCorresCfg(
+        out_size=int(fc["resize"]), n_extra=int(fc.get("n_extra_prop", 128)),
         matcher=matcher_cfg, ransac=params,
     )
 
+
+def ensure_pool_frames(store, frames):
+    """Upload any non-resident frames to the device pool; returns slot map."""
+    pool = store._ensure_pool(frames[0])
+    with span("corres/pool_upload"):
+        pool.ensure(frames)
+        return pool, {f.id: pool.slot_of[f.id] for f in frames}
+
+
+def build_pairs_data(store, pairs, cfg, slot_of):
+    """Per-pair host metadata for the fused device paths: homographies,
+    poses, RANSAC caps, track-propagation candidates."""
+    fc = cfg["feature_corres"]
+    rcfg = cfg["ransac"]
+    out_size = int(fc["resize"])
     pairs_data = []
-    props = []
     with span("corres/warp"):
         for fa, fb in pairs:
             tfA, tfB = pair_homographies(fa, fb, out_size)
             pA_uv, pB_uv = store.tracks.propagate(fa.id, fb.id)
             extra = (np.concatenate([pA_uv, pB_uv], axis=-1)
                      if len(pA_uv) else np.zeros((0, 4)))
-            props.append(extra)
             neighbor = abs(fa.id - fb.id) == 1
             pairs_data.append({
                 "slotA": slot_of[fa.id], "slotB": slot_of[fb.id],
@@ -341,35 +341,13 @@ def _find_corres_fused(store, pairs, cfg, matcher_cfg, key):
                 "max_rot_deg": float(rcfg["max_rot_deg_neighbor"] if neighbor
                                      else rcfg["max_rot_no_neighbor"]),
             })
+    return pairs_data
 
-    # batch-size bucketing {1, pair_batch/2, pair_batch, pow2} — one
-    # compiled program per bucket (see the legacy path's rationale).  The
-    # half bucket exists because BA match batches are usually <=
-    # max_BA_frames-1 = 9 pairs: padding them to 16 doubles the dominant
-    # warp-gather work per call (~190 ms at the r4 gather rate).
-    n = len(pairs_data)
-    fixed = int(fc.get("pair_batch", 16))
-    half = fixed // 2
-    if n == 1:
-        P = 1
-    elif half >= 2 and n <= half:
-        P = half
-    elif n <= fixed:
-        P = fixed
-    else:
-        P = 1 << max(0, (n - 1).bit_length())
-    pad = dict(pairs_data[0])
-    pad["valid"] = False
-    pairs_data += [pad] * (P - n)
 
-    packed = fused_ops.pack_call(pairs_data, fcfg.n_extra)
-    with span("corres/match"):
-        buf = fused_ops.fused_find_corres_packed(
-            pool.gray, pool.depth, pool.normals, pool.K,
-            packed, key, fcfg,
-        )
-        res = fused_ops.unpack_result(buf, M)
-
+def commit_fused_results(store, pairs, res):
+    """Write a fused program's unpacked match results into the host tables
+    (store.raw / store.matches / feature tracks) — identical bookkeeping
+    for the standalone corres program and the fused match+BA program."""
     for i, (fa, fb) in enumerate(pairs):
         row_valid = res["row_valid"][i]
         uvA_f = res["uvA"][i]
@@ -406,6 +384,56 @@ def _find_corres_fused(store, pairs, cfg, matcher_cfg, key):
         }
         store.matches[(fa.id, fb.id)] = g
         store.tracks.add_matches(fa.id, fb.id, g["uvA"], g["uvB"], g["inlier"])
+
+
+def _find_corres_fused(store, pairs, cfg, matcher_cfg, key):
+    """Fused device path for fresh pairs (see ops/fused_corres.py)."""
+    from ..ops import fused_corres as fused_ops
+
+    fc = cfg["feature_corres"]
+    M = store.max_matches
+    all_frames, seen = [], set()
+    for fa, fb in pairs:
+        for f in (fa, fb):
+            if f.id not in seen:
+                seen.add(f.id)
+                all_frames.append(f)
+    pool, slot_of = ensure_pool_frames(store, all_frames)
+    fcfg = make_fused_cfg(store, cfg, matcher_cfg)
+    pairs_data = build_pairs_data(store, pairs, cfg, slot_of)
+
+    # batch-size bucketing {1, pair_batch/2, pair_batch, pow2} — one
+    # compiled program per bucket (see the legacy path's rationale).  The
+    # half bucket exists because BA match batches are usually <=
+    # max_BA_frames-1 = 9 pairs: padding them to 16 doubles the dominant
+    # warp-gather work per call (~190 ms at the r4 gather rate).
+    n = len(pairs_data)
+    fixed = int(fc.get("pair_batch", 16))
+    half = fixed // 2
+    if n == 1:
+        P = 1
+    elif half >= 2 and n <= half:
+        P = half
+    elif n <= fixed:
+        P = fixed
+    else:
+        P = 1 << max(0, (n - 1).bit_length())
+    pad = dict(pairs_data[0])
+    pad["valid"] = False
+    pairs_data += [pad] * (P - n)
+
+    packed = fused_ops.pack_call(pairs_data, fcfg.n_extra)
+    with span("corres/match"):
+        from ..utils import profiler
+
+        profiler.count("launch/corres")
+        profiler.count("readback/corres")
+        buf = fused_ops.fused_find_corres_packed(
+            pool.gray, pool.depth, pool.normals, pool.K,
+            packed, key, fcfg,
+        )
+        res = fused_ops.unpack_result(buf, M)
+    commit_fused_results(store, pairs, res)
 
 
 def _find_corres_legacy(store, pairs, cfg, matcher_cfg, key, matcher_fn,
@@ -452,6 +480,10 @@ def _find_corres_legacy(store, pairs, cfg, matcher_cfg, key, matcher_fn,
             imgsA.append(imgsA[0]); imgsB.append(imgsB[0])
 
         with span("corres/match"):
+            from ..utils import profiler
+
+            profiler.count("launch/corres")
+            profiler.count("readback/corres")
             if matcher_fn is None and store.matcher is not None:
                 matcher_fn = store.matcher.predict
             if matcher_fn is None:
@@ -533,6 +565,10 @@ def _find_corres_legacy(store, pairs, cfg, matcher_cfg, key, matcher_fn,
         max_rot[i] = float(rcfg["max_rot_deg_neighbor"] if neighbor else rcfg["max_rot_no_neighbor"])
 
     with span("corres/ransac"):
+        from ..utils import profiler
+
+        profiler.count("launch/ransac")
+        profiler.count("readback/ransac")
         res = ransac_ops.ransac_multi_pair(
             key, jnp.asarray(ptsA), jnp.asarray(ptsB), jnp.asarray(nA), jnp.asarray(nB),
             jnp.asarray(valid), params, jnp.asarray(max_trans), jnp.asarray(max_rot),

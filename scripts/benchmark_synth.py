@@ -86,7 +86,10 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
     n_fail = 0
     failed_frames = []
     t_marks = []
-    for i in range(len(reader.color_files)):
+    half_snapshot = None
+    half_steps = 0
+    n_total = len(reader.color_files)
+    for i in range(n_total):
         color = reader.get_color(i)
         depth = reader.get_depth(i)
         mask = reader.get_mask(i)
@@ -97,9 +100,21 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
         frame = tracker.run(color, depth, reader.K, reader.id_strs[i],
                             mask=mask, occ_mask=occ)
         t_marks.append(time.perf_counter())
+        if i == n_total // 2:
+            # warm-window snapshot (same definition as warm_fps): the
+            # overlap/choreography metrics over the second half exclude
+            # the first half's one-time XLA compiles
+            half_snapshot = {k: dict(v) for k, v in
+                             profiler.stats().items()}
+            half_steps = (tracker.nof.total_step
+                          if tracker.nof is not None else 0)
         if frame is not None and int(getattr(frame, "status", 0)) != 0:
             n_fail += 1
             failed_frames.append(i)
+    # end-of-loop snapshot: the warm window must not absorb on_finish's
+    # final drains (they fall outside its wall)
+    loop_snapshot = {k: dict(v) for k, v in profiler.stats().items()}
+    loop_steps = tracker.nof.total_step if tracker.nof is not None else 0
     mesh = tracker.on_finish()
     wall = time.perf_counter() - t0
     # warm-cache fps: the second half of the video (every distinct XLA
@@ -119,27 +134,48 @@ def run_engine(video_dir, out_folder, matcher, loftr_ckpt="", sync_max_delay=Non
     }
     # Overlap + choreography accounting (VERDICT r4 #1/#2): how much NOF
     # device time was hidden under host tracking, and how many device
-    # dispatches / blocking readbacks the host issued per frame.
+    # dispatches / blocking readbacks the host issued per frame.  Whole-run
+    # AND warm-window (second half, compile-free — same window as
+    # warm_fps) variants.
     n_frames = len(t_marks)
-    if tracker.nof is not None and getattr(tracker.nof, "_step_ms", 0.0):
-        step_ms = float(tracker.nof._step_ms)
-        nof_device_s = tracker.nof.total_step * step_ms / 1e3
-        blocked_s = sum(st.get(k, {"total_s": 0.0})["total_s"]
-                        for k in ("nof/sync_wait", "nof/train_drain"))
-        prof["overlap"] = {
-            "nof_steps_total": int(tracker.nof.total_step),
-            "nof_step_ms": round(step_ms, 2),
-            "nof_device_s": round(nof_device_s, 2),
-            "blocked_wait_s": round(blocked_s, 2),
-            "overlap_frac": round(
-                max(0.0, 1.0 - blocked_s / max(nof_device_s, 1e-9)), 3),
-            "wall_minus_nof_device_s": round(wall - nof_device_s, 2),
-        }
-    launches = sum(v["count"] for k, v in st.items() if k.startswith("launch/"))
-    readbacks = sum(v["count"] for k, v in st.items()
-                    if k.startswith("readback/"))
-    prof["launches_per_frame"] = round(launches / max(n_frames, 1), 2)
-    prof["readbacks_per_frame"] = round(readbacks / max(n_frames, 1), 2)
+
+    def _window(stats_now, stats_base, steps_now, steps_base, wall_w, n_fr):
+        d = {}
+        for k, v in stats_now.items():
+            base = (stats_base or {}).get(k, {"count": 0, "total_s": 0.0})
+            d[k] = {"count": v["count"] - base["count"],
+                    "total_s": v["total_s"] - base["total_s"]}
+        out = {}
+        if tracker.nof is not None and getattr(tracker.nof, "_step_ms", 0.0):
+            step_ms = float(tracker.nof._step_ms)
+            nof_device_s = (steps_now - steps_base) * step_ms / 1e3
+            blocked_s = sum(d.get(k, {"total_s": 0.0})["total_s"]
+                            for k in ("nof/sync_wait", "nof/train_drain"))
+            out.update({
+                "nof_steps": int(steps_now - steps_base),
+                "nof_step_ms": round(step_ms, 2),
+                "nof_device_s": round(nof_device_s, 2),
+                "blocked_wait_s": round(blocked_s, 2),
+                "overlap_frac": round(max(
+                    0.0, 1.0 - blocked_s / max(nof_device_s, 1e-9)), 3),
+                "wall_minus_nof_device_s": round(wall_w - nof_device_s, 2),
+            })
+        launches = sum(v["count"] for k, v in d.items()
+                       if k.startswith("launch/"))
+        readbacks = sum(v["count"] for k, v in d.items()
+                        if k.startswith("readback/"))
+        out["launches_per_frame"] = round(launches / max(n_fr, 1), 2)
+        out["readbacks_per_frame"] = round(readbacks / max(n_fr, 1), 2)
+        return out
+
+    steps_total = tracker.nof.total_step if tracker.nof is not None else 0
+    prof["overlap"] = _window(st, None, steps_total, 0, wall, n_frames)
+    if half_snapshot is not None:
+        prof["overlap_warm"] = _window(
+            loop_snapshot, half_snapshot, loop_steps, half_steps,
+            t_marks[-1] - t_marks[half], n_frames - 1 - half)
+    prof["launches_per_frame"] = prof["overlap"].pop("launches_per_frame")
+    prof["readbacks_per_frame"] = prof["overlap"].pop("readbacks_per_frame")
     return wall, warm_fps, n_fail, failed_frames, prof
 
 

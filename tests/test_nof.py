@@ -534,3 +534,45 @@ def test_weights_only_checkpoint_rejects_resume(tmp_path):
     runner.save_weights(ckpt)
     with pytest.raises(ValueError, match="weights-only"):
         NofRunner.from_checkpoint(cfg, ckpt)
+
+
+def test_upload_rays_incremental_append_matches_full_upload():
+    """The in-place donated append (VERDICT r4 weak #6 fix: no full-pool
+    re-upload per extension round) must produce a device pool identical to
+    a from-scratch full upload — including the shifted-block case where
+    the append lands near the pool top."""
+    import types
+    import jax.numpy as jnp
+    from bundlesdf_tpu.nof import render as nof_render
+    from bundlesdf_tpu.nof.runner import NofRunner
+
+    D = nof_render.RAY_DIM
+    rng = np.random.default_rng(0)
+
+    class Stub:
+        _upload_rays_impl = NofRunner._upload_rays_impl
+        _upload_rays = NofRunner._upload_rays
+        update_c2w = NofRunner.update_c2w
+
+    r = Stub()
+    r.cfg = {"ray_pool_max_log2": 14, "ray_pool_reserve_log2": 14}
+    r.c2w_np = np.eye(4, dtype=np.float32)[None]
+    cap = 1 << 14
+
+    # initial pool: most of capacity already used
+    r.rays_np = rng.standard_normal((cap - 3000, D)).astype(np.float32)
+    r._upload_rays()
+    assert r.rays_dev.shape[0] == cap
+
+    # append 2500 rows -> bucket 4096 > remaining headroom => shifted block
+    new = rng.standard_normal((2500, D)).astype(np.float32)
+    n_before = len(r.rays_np)
+    r.rays_np = np.concatenate([r.rays_np, new])
+    r._upload_rays(append_from=n_before)
+    got = np.asarray(r.rays_dev)
+
+    full = np.zeros((cap, D), np.float32)
+    full[: len(r.rays_np)] = r.rays_np
+    np.testing.assert_array_equal(got[: len(r.rays_np)], r.rays_np)
+    np.testing.assert_array_equal(got, full)
+    assert int(r.n_rays) == len(r.rays_np)

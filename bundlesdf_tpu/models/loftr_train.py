@@ -202,6 +202,184 @@ def make_batch(key, batch: int, H: int, W: int, max_gt: int) -> HomographyBatch:
     return HomographyBatch(*outs)
 
 
+# ----------------------------------------------- depth+pose supervision
+def _render_sphere_union(ob_in_cam, K, H, W, spheres, dot_seed=0):
+    """Minimal numpy ray tracer of a textured sphere union (the hard-
+    fixture object family, tests/synthetic_hard.py render_blob_rgbd) —
+    re-implemented here so the package has no test-directory dependency.
+    Returns (gray float [0,1], depth z, mask bool)."""
+    T_oc = np.linalg.inv(ob_in_cam)
+    j, i = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    d_cam = np.stack(
+        [(i - K[0, 2]) / K[0, 0], (j - K[1, 2]) / K[1, 1],
+         np.ones_like(i, np.float64)], axis=-1)
+    d_obj = d_cam @ T_oc[:3, :3].T
+    o_obj = T_oc[:3, 3]
+    a = np.sum(d_obj * d_obj, axis=-1)
+    t_best = np.full((H, W), np.inf)
+    sid_best = np.full((H, W), -1, np.int64)
+    for s, (cx, cy, cz, r) in enumerate(spheres):
+        oc = o_obj - np.array([cx, cy, cz])
+        b = 2.0 * (d_obj @ oc)
+        c = oc @ oc - r * r
+        disc = b * b - 4 * a * c
+        ok = disc > 0
+        sq = np.sqrt(np.where(ok, disc, 0.0))
+        t = (-b - sq) / (2 * a)
+        ok &= t > 0.01
+        closer = ok & (t < t_best)
+        t_best = np.where(closer, t, t_best)
+        sid_best = np.where(closer, s, sid_best)
+    hit = sid_best >= 0
+    t = np.where(hit, t_best, 0.0)
+    p_obj = o_obj + d_obj * t[..., None]
+    # per-sphere random dot texture, evaluated in OBJECT space so it is
+    # view-consistent (the supervision signal needs true photometric
+    # correspondence across parallax)
+    rng = np.random.default_rng(dot_seed)
+    gray = np.full((H, W), 0.45)
+    for s, (cx, cy, cz, r) in enumerate(spheres):
+        sel = sid_best == s
+        if not sel.any():
+            continue
+        local = (p_obj[sel] - np.array([cx, cy, cz])) / r
+        dots = rng.uniform(-1, 1, (24, 3))
+        dots /= np.linalg.norm(dots, axis=-1, keepdims=True)
+        vals = rng.uniform(-0.45, 0.45, 24)
+        d2 = local @ dots.T                     # cos angle to each dot
+        w_tex = np.clip((d2 - 0.965) / 0.035, 0, 1)
+        gray[sel] = 0.5 + (w_tex * vals).sum(-1)
+    # simple lambertian shading from the surface normal (sphere normal)
+    n_obj = np.zeros((H, W, 3))
+    for s, (cx, cy, cz, r) in enumerate(spheres):
+        sel = sid_best == s
+        n_obj[sel] = (p_obj[sel] - np.array([cx, cy, cz])) / r
+    light = np.array([0.3, -0.5, -0.8])
+    light = light / np.linalg.norm(light)
+    shade = 0.65 + 0.35 * np.clip(-(n_obj @ light), 0, 1)
+    gray = np.clip(gray * shade, 0, 1) * hit
+    depth = np.where(hit, t, 0.0).astype(np.float32)
+    return gray.astype(np.float32), depth, hit
+
+
+class DepthViewPool(NamedTuple):
+    """Multi-view renders of random objects with exact depth + pose GT."""
+
+    imgs: jnp.ndarray     # (V, H, W) gray [0,1], bg = 0
+    depths: jnp.ndarray   # (V, H, W) z, 0 = invalid
+    poses: jnp.ndarray    # (V, 4, 4) cam-in-object
+    K: jnp.ndarray        # (3, 3)
+    views_per: int
+
+
+def build_depth_view_pool(n_objects=24, views_per=6, H=160, W=160, seed=0,
+                          max_rel_deg=28.0):
+    """Host-side pool of rendered views for depth+pose-warped supervision
+    (VERDICT r4 task #3: replace homography-only supervision).  Objects are
+    random sphere unions with view-consistent object-space dot textures —
+    the same family as the hard eval fixture; consecutive views differ by
+    tracking-scale rotations so GT correspondences carry real parallax and
+    self-occlusion."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    # long focal so the object fills ~half the frame (the production
+    # matcher sees letterboxed object crops, not wide scenes)
+    f = 1.6 * H
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float64)
+    imgs, depths, poses = [], [], []
+    for o in range(n_objects):
+        n_sph = rng.integers(2, 6)
+        spheres = []
+        for _ in range(n_sph):
+            c = rng.uniform(-0.05, 0.05, 3)
+            r = rng.uniform(0.035, 0.085)
+            spheres.append((c[0], c[1], c[2], float(r)))
+        base = Rotation.random(random_state=int(rng.integers(1 << 30)))
+        for v in range(views_per):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            # per-view-step rotation at tracking scale; any sampled pair
+            # differs by <= views_per * step (~40 deg worst case)
+            ang = np.deg2rad(rng.uniform(3.0, max_rel_deg / views_per))
+            R = (Rotation.from_rotvec(axis * ang * v) * base).as_matrix()
+            ob = np.eye(4)
+            ob[:3, :3] = R
+            ob[:3, 3] = [rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01),
+                         rng.uniform(0.38, 0.5)]
+            g, d, _m = _render_sphere_union(ob, K, H, W, spheres, dot_seed=o)
+            imgs.append(g)
+            depths.append(d)
+            poses.append(np.linalg.inv(ob))     # cam-in-object
+    return DepthViewPool(
+        jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(depths)),
+        jnp.asarray(np.stack(poses).astype(np.float32)),
+        jnp.asarray(K.astype(np.float32)), views_per)
+
+
+def make_depth_batch(key, pool: DepthViewPool, batch: int, H: int, W: int,
+                     max_gt: int) -> HomographyBatch:
+    """Depth+pose-supervised pair batch: GT coarse/fine correspondences by
+    back-projecting view-0 cell centers through the exact depth map and
+    relative pose, with a z-test against view-1's depth for occlusion —
+    the reference's ScanNet/MegaDepth supervision regime
+    (LoFTR/src/datasets, spvs_coarse/spvs_fine) on synthetic RGBD."""
+    Hc, Wc = H // 8, W // 8
+    V = pool.imgs.shape[0]
+    n_obj = V // pool.views_per
+
+    def one(k):
+        ko, kv, kj, kn0, kn1 = jax.random.split(k, 5)
+        o = jax.random.randint(ko, (), 0, n_obj)
+        ab = jax.random.choice(kv, pool.views_per, (2,), replace=False)
+        v0 = o * pool.views_per + ab[0]
+        v1 = o * pool.views_per + ab[1]
+        img0 = pool.imgs[v0]
+        img1 = pool.imgs[v1]
+        d0 = pool.depths[v0]
+        d1 = pool.depths[v1]
+        rel = jnp.linalg.inv(pool.poses[v1]) @ pool.poses[v0]  # cam0 -> cam1
+        # photometric jitter (different exposures)
+        kb, kc = jax.random.split(kj)
+        gain = jax.random.uniform(kb, (), minval=0.75, maxval=1.25)
+        bias = jax.random.uniform(kc, (), minval=-0.1, maxval=0.1)
+        msk1 = img1 > 0
+        img1 = jnp.where(msk1, jnp.clip(img1 * gain + bias, 0.0, 1.0), 0.0)
+        img0 = jnp.clip(img0 + 0.02 * jax.random.normal(kn0, img0.shape), 0, 1)
+        img1 = jnp.clip(img1 + 0.02 * jax.random.normal(kn1, img1.shape), 0, 1)
+
+        ys, xs = jnp.meshgrid(jnp.arange(Hc), jnp.arange(Wc), indexing="ij")
+        cx = xs.reshape(-1) * 8 + 4.0
+        cy = ys.reshape(-1) * 8 + 4.0
+        cxi = cx.astype(jnp.int32)
+        cyi = cy.astype(jnp.int32)
+        z0 = d0[cyi, cxi]
+        Km = pool.K
+        X0 = jnp.stack([(cx - Km[0, 2]) / Km[0, 0] * z0,
+                        (cy - Km[1, 2]) / Km[1, 1] * z0, z0], -1)
+        X1 = X0 @ rel[:3, :3].T + rel[:3, 3]
+        z1 = X1[:, 2]
+        px = Km[0, 0] * X1[:, 0] / jnp.maximum(z1, 1e-6) + Km[0, 2]
+        py = Km[1, 1] * X1[:, 1] / jnp.maximum(z1, 1e-6) + Km[1, 2]
+        inb = (px >= 4) & (px < W - 4) & (py >= 4) & (py < H - 4) & (z0 > 0.01)
+        pxi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
+        pyi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
+        # z-test: the warped point must BE view-1's front surface
+        visible = jnp.abs(d1[pyi, pxi] - z1) < 0.004
+        pos = inb & visible
+        tgt_x = jnp.clip(jnp.floor(px / 8.0).astype(jnp.int32), 0, Wc - 1)
+        tgt_y = jnp.clip(jnp.floor(py / 8.0).astype(jnp.int32), 0, Hc - 1)
+        i_ids = jnp.arange(Hc * Wc)
+        j_ids = tgt_y * Wc + tgt_x
+        score = pos.astype(jnp.float32) - jnp.arange(Hc * Wc) * 1e-6
+        _, sel = jax.lax.top_k(score, max_gt)
+        return (img0[..., None], img1[..., None], i_ids[sel], j_ids[sel],
+                jnp.stack([px, py], -1)[sel], pos[sel])
+
+    outs = jax.vmap(one)(jax.random.split(key, batch))
+    return HomographyBatch(*outs)
+
+
 # ---------------------------------------------------------------- losses
 def coarse_focal_loss(conf, i_ids, j_ids, pos_mask, alpha=0.25, gamma=2.0):
     """Focal loss on the dual-softmax confidence matrix (reference
@@ -253,8 +431,9 @@ def make_train_step(module: LoftrModule, tcfg: TrainCfg, optimizer,
         lf = fine_l2_loss(out["mkpts1_f"], batch.pts1, batch.pos_mask)
         return lc + tcfg.fine_weight * lf, {"coarse": lc, "fine": lf}
 
-    def step_fn(params, opt_state, key, step):
-        batch = make_batch(key, tcfg.batch, tcfg.H, tcfg.W, tcfg.max_gt)
+    def step_fn(params, opt_state, key, step, batch=None):
+        if batch is None:
+            batch = make_batch(key, tcfg.batch, tcfg.H, tcfg.W, tcfg.max_gt)
         if mesh is not None:
             shard = NamedSharding(mesh, P("dp"))
             batch = HomographyBatch(*(jax.lax.with_sharding_constraint(x, shard)
@@ -271,7 +450,8 @@ def make_train_step(module: LoftrModule, tcfg: TrainCfg, optimizer,
 def train_loftr(cfg: LoftrCfg | None = None, tcfg: TrainCfg = TrainCfg(),
                 n_steps: int = 200, seed: int = 0, mesh: Mesh | None = None,
                 log_every: int = 20, save_path: str = "",
-                save_every: int = 2000, resume: str = ""):
+                save_every: int = 2000, resume: str = "",
+                depth_frac: float = 0.0, depth_pool_objects: int = 24):
     """Train from scratch; returns (params, history). The trained params
     plug straight into ``LoftrMatcher(cfg, params=params)`` — the training
     module shares every submodule name with the inference module.  With
@@ -279,7 +459,8 @@ def train_loftr(cfg: LoftrCfg | None = None, tcfg: TrainCfg = TrainCfg(),
     loftr_jax.load_checkpoint consumes directly.  ``resume`` warm-starts
     from such an .npz (fresh optimizer state — this is a curriculum
     restart, not a bitwise resume; the NOF checkpoint path is the bitwise
-    one)."""
+    one).  ``depth_frac`` > 0 mixes in that fraction of depth+pose-warped
+    supervision batches (make_depth_batch; VERDICT r4 task #3)."""
     cfg = cfg or LoftrCfg()
     module = LoftrModule(cfg)
     key = jax.random.PRNGKey(seed)
@@ -301,6 +482,17 @@ def train_loftr(cfg: LoftrCfg | None = None, tcfg: TrainCfg = TrainCfg(),
     step = make_train_step(module, tcfg, optimizer, mesh)
     hist = []
 
+    pool = None
+    gen_depth = None
+    if depth_frac > 0:
+        print(f"building depth-view pool ({depth_pool_objects} objects)...",
+              flush=True)
+        pool = build_depth_view_pool(
+            n_objects=depth_pool_objects, H=tcfg.H, W=tcfg.W, seed=seed + 1)
+        gen_depth = jax.jit(partial(
+            make_depth_batch, pool=pool, batch=tcfg.batch, H=tcfg.H,
+            W=tcfg.W, max_gt=tcfg.max_gt))
+
     def _save(params):
         if not save_path:
             return
@@ -310,7 +502,10 @@ def train_loftr(cfg: LoftrCfg | None = None, tcfg: TrainCfg = TrainCfg(),
 
     for i in range(n_steps):
         key, k = jax.random.split(key)
-        params, opt_state, metrics = step(params, opt_state, k, i)
+        batch = None
+        if gen_depth is not None and (i % 100) < int(depth_frac * 100):
+            batch = gen_depth(k)
+        params, opt_state, metrics = step(params, opt_state, k, i, batch)
         if i % log_every == 0 or i == n_steps - 1:
             m = {k2: float(v) for k2, v in metrics.items()}
             hist.append({"step": i, **m})
@@ -337,11 +532,15 @@ if __name__ == "__main__":
     ap.add_argument("--resume", default="",
                     help=".npz checkpoint to warm-start from")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--depth_frac", type=float, default=0.0,
+                    help="fraction of depth+pose-warped supervision batches")
+    ap.add_argument("--pool_objects", type=int, default=24)
     args = ap.parse_args()
     train_loftr(
         tcfg=TrainCfg(H=args.size, W=args.size, batch=args.batch, lr=args.lr,
                       warmup=max(50, args.steps // 20)),
         n_steps=args.steps, log_every=args.log_every,
         save_path=args.out, save_every=args.save_every, resume=args.resume,
-        seed=args.seed,
+        seed=args.seed, depth_frac=args.depth_frac,
+        depth_pool_objects=args.pool_objects,
     )

@@ -76,3 +76,44 @@ def test_train_step_dp_sharded_runs():
     with mesh:
         params, st, metrics = step(params, st, key, 0)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_depth_view_pool_and_gt_warp_consistency():
+    """Depth+pose supervision (VERDICT r4 #3): the GT warp must be
+    photometrically consistent — a positive cell center's warped position
+    must see (nearly) the same texture value in the other view, and the
+    z-test must reject self-occluded points."""
+    import jax
+    from bundlesdf_tpu.models.loftr_train import (
+        build_depth_view_pool, make_depth_batch)
+
+    pool = build_depth_view_pool(n_objects=2, views_per=3, H=96, W=96, seed=3)
+    assert pool.imgs.shape == (6, 96, 96)
+    assert np.isfinite(np.asarray(pool.depths)).all()
+    batch = make_depth_batch(jax.random.PRNGKey(0), pool, 4, 96, 96, 64)
+    assert batch.img0.shape == (4, 96, 96, 1)
+    pos = np.asarray(batch.pos_mask)
+    assert pos.sum() > 40, pos.sum()   # real positives found
+    # photometric consistency at positives (before jitter the views share
+    # object-space texture; jitter is bounded => tolerance 0.35)
+    img0 = np.asarray(batch.img0)[..., 0]
+    img1 = np.asarray(batch.img1)[..., 0]
+    i_ids = np.asarray(batch.i_ids)
+    pts1 = np.asarray(batch.pts1)
+    Wc = 96 // 8
+    errs = []
+    for b in range(4):
+        for k in range(i_ids.shape[1]):
+            if not pos[b, k]:
+                continue
+            cy = (i_ids[b, k] // Wc) * 8 + 4
+            cx = (i_ids[b, k] % Wc) * 8 + 4
+            px, py = pts1[b, k]
+            v0 = img0[b, cy, cx]
+            v1 = img1[b, int(round(py)), int(round(px))]
+            if v0 > 0.05 and v1 > 0.05:   # both on-object
+                errs.append(abs(float(v0) - float(v1)))
+    errs = np.asarray(errs)
+    assert len(errs) > 30
+    # median photometric error small; jitter gain/bias bounds the tail
+    assert np.median(errs) < 0.2, np.median(errs)
